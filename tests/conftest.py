@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the shard_map/mesh analog of the
+reference CI's 1-vs-2-thread determinism legs, ``.github/workflows/CI.yml``)
+and with x64 enabled so f32 results can be validated against f64 ground
+truth, mirroring the reference tests' Float32-vs-Float64 sweeps.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the ambient environment may pin JAX_PLATFORMS to a TPU platform,
+# but unit tests validate numerics on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# jax may already have been imported by a pytest plugin, after which the
+# JAX_PLATFORMS env var is no longer consulted — set the config directly
+# (legal as long as no backend has been initialized yet).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

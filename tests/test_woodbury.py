@@ -1,0 +1,264 @@
+"""Woodbury operator-vs-dense sweeps.
+
+Ports the numerical contract of reference ``test/woodbury.jl:117-404``: every
+operator is compared against explicit dense materialization ``A + B D Bᵀ``
+over {float32, float64} × {diag, dense A} × {diag-like, dense D} × n ∈ {5, 10},
+m = 8, plus masked-column and empty-history (m = 0) cases that the TPU build
+adds for fixed-shape batching.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.ops.woodbury import WoodburyPDMat, pdfactorize, pdunfactorize
+
+
+def rand_pd_mat(rng, n, dtype):
+    """Random PD matrix (reference ``test/test_utils.jl:7-10``)."""
+    U = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = rng.uniform(0.5, 2.0, n)
+    return (U @ np.diag(lam) @ U.T).astype(dtype)
+
+
+def rand_woodbury(rng, n, m, dtype, diag_A=True, diag_D=False, psd_D=True):
+    if diag_A:
+        A = rng.uniform(0.5, 2.0, n).astype(dtype)
+        A_dense = np.diag(A)
+    else:
+        A = rand_pd_mat(rng, n, dtype)
+        A_dense = A
+    B = (rng.standard_normal((n, m)) / np.sqrt(n)).astype(dtype)
+    if diag_D:
+        D = np.diag(rng.uniform(0.5, 2.0, m)).astype(dtype)
+    elif psd_D:
+        D = rand_pd_mat(rng, m, dtype)
+    else:
+        # indefinite symmetric D chosen small enough that W stays PD
+        D = rng.standard_normal((m, m)).astype(dtype)
+        D = 0.1 * (D + D.T)
+    W_dense = A_dense + B @ D @ B.T
+    return A, B, D, W_dense
+
+
+CASES = [
+    (np.float64, True, False, 5),
+    (np.float64, True, True, 10),
+    (np.float64, False, False, 10),
+    (np.float64, False, True, 5),
+    (np.float32, True, False, 10),
+    (np.float32, False, False, 5),
+]
+
+
+@pytest.mark.parametrize("dtype,diag_A,diag_D,n", CASES)
+def test_woodbury_ops_vs_dense(dtype, diag_A, diag_D, n):
+    rng = np.random.default_rng(42)
+    m = 8
+    A, B, D, W_dense = rand_woodbury(rng, n, m, dtype, diag_A, diag_D)
+    W = WoodburyPDMat.from_parts(A, B, D)
+    rtol = 1e-10 if dtype == np.float64 else 2e-4
+    atol = 1e-10 if dtype == np.float64 else 2e-4
+
+    assert W.dtype == dtype
+    np.testing.assert_allclose(W.to_dense(), W_dense, rtol=rtol, atol=atol)
+    np.testing.assert_allclose(W.diag(), np.diag(W_dense), rtol=rtol, atol=atol)
+
+    sign, ld = np.linalg.slogdet(W_dense)
+    assert sign > 0
+    np.testing.assert_allclose(W.logdet(), ld, rtol=rtol, atol=atol)
+    la, s = W.logabsdet()
+    np.testing.assert_allclose(la, ld, rtol=rtol, atol=atol)
+    assert s == 1.0
+
+    x = rng.standard_normal(n).astype(dtype)
+    Xm = rng.standard_normal((n, 4)).astype(dtype)
+
+    np.testing.assert_allclose(W.mul(x), W_dense @ x, rtol=rtol, atol=atol)
+    np.testing.assert_allclose(W.mul(Xm), W_dense @ Xm, rtol=rtol, atol=atol)
+    np.testing.assert_allclose(
+        W.solve(x), np.linalg.solve(W_dense, x), rtol=100 * rtol, atol=100 * atol
+    )
+    np.testing.assert_allclose(
+        W.solve(Xm), np.linalg.solve(W_dense, Xm), rtol=100 * rtol, atol=100 * atol
+    )
+
+    np.testing.assert_allclose(W.quad(x), x @ W_dense @ x, rtol=10 * rtol, atol=atol)
+    np.testing.assert_allclose(
+        W.quad(Xm), np.einsum("ij,ik,kj->j", Xm, W_dense, Xm), rtol=10 * rtol,
+        atol=10 * atol,
+    )
+    np.testing.assert_allclose(
+        W.invquad(x), x @ np.linalg.solve(W_dense, x), rtol=100 * rtol, atol=atol
+    )
+    np.testing.assert_allclose(
+        W.invquad(Xm),
+        np.einsum("ij,ik,kj->j", Xm, np.linalg.inv(W_dense), Xm),
+        rtol=100 * rtol,
+        atol=100 * atol,
+    )
+
+    # factor identities: L Lᵀ = W, whiten/unwhiten round trips
+    F = W.factor
+    L = np.asarray(F.dense_L())
+    np.testing.assert_allclose(L @ L.T, W_dense, rtol=10 * rtol, atol=10 * atol)
+    np.testing.assert_allclose(F.Lt_mul(x), L.T @ x, rtol=10 * rtol, atol=10 * atol)
+    np.testing.assert_allclose(
+        F.L_solve(x), np.linalg.solve(L, x), rtol=100 * rtol, atol=100 * atol
+    )
+    np.testing.assert_allclose(
+        F.Lt_solve(x), np.linalg.solve(L.T, x), rtol=100 * rtol, atol=100 * atol
+    )
+    np.testing.assert_allclose(
+        W.unwhiten(W.whiten(Xm)), Xm, rtol=100 * rtol, atol=100 * atol
+    )
+    # whitened covariance is the identity: L⁻¹ W L⁻ᵀ = I
+    Z = np.asarray(F.L_solve(W_dense))  # L⁻¹ W
+    np.testing.assert_allclose(
+        np.asarray(F.L_solve(Z.T)).T,  # (L⁻¹ Zᵀ)ᵀ = Z L⁻ᵀ
+        np.eye(n),
+        rtol=100 * rtol,
+        atol=100 * atol,
+    )
+    np.testing.assert_allclose(
+        W.inv_unwhiten(x), np.linalg.solve(L.T, x), rtol=100 * rtol, atol=100 * atol
+    )
+
+
+def test_woodbury_indefinite_D():
+    """The L-BFGS core ``D`` is indefinite — W must still factorize
+    (reference ``src/inverse_hessian.jl:79-96`` produces such ``D``)."""
+    rng = np.random.default_rng(7)
+    A, B, D, W_dense = rand_woodbury(
+        rng, 12, 6, np.float64, diag_A=True, diag_D=False, psd_D=False
+    )
+    assert np.all(np.linalg.eigvalsh(W_dense) > 0)
+    W = WoodburyPDMat.from_parts(A, B, D)
+    np.testing.assert_allclose(W.to_dense(), W_dense, rtol=1e-10)
+    np.testing.assert_allclose(W.logdet(), np.linalg.slogdet(W_dense)[1], rtol=1e-10)
+    L = np.asarray(W.factor.dense_L())
+    np.testing.assert_allclose(L @ L.T, W_dense, rtol=1e-9, atol=1e-12)
+
+
+def test_woodbury_inv_and_scale():
+    rng = np.random.default_rng(3)
+    A, B, D, W_dense = rand_woodbury(rng, 8, 4, np.float64)
+    W = WoodburyPDMat.from_parts(A, B, D)
+
+    W_inv = W.inv()
+    assert isinstance(W_inv, WoodburyPDMat)
+    np.testing.assert_allclose(W_inv.to_dense(), np.linalg.inv(W_dense), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(W_inv.logdet(), -W.logdet(), rtol=1e-9)
+
+    W3 = W.scale(3.0)
+    np.testing.assert_allclose(W3.to_dense(), 3.0 * W_dense, rtol=1e-10)
+    np.testing.assert_allclose((2.0 * W).to_dense(), 2.0 * W_dense, rtol=1e-10)
+
+
+def test_pdunfactorize_roundtrip():
+    rng = np.random.default_rng(11)
+    for diag_A in (True, False):
+        A, B, D, W_dense = rand_woodbury(rng, 9, 4, np.float64, diag_A=diag_A)
+        F = pdfactorize(jnp.asarray(A), jnp.asarray(B), jnp.asarray(D))
+        A2, B2, D2 = pdunfactorize(F)
+        A2_dense = np.diag(A2) if A2.ndim == 1 else np.asarray(A2)
+        W2 = A2_dense + np.asarray(B2) @ np.asarray(D2) @ np.asarray(B2).T
+        np.testing.assert_allclose(W2, W_dense, rtol=1e-9, atol=1e-12)
+
+
+def test_masked_columns_match_truncated():
+    """A factorization with trailing masked columns must equal the
+    factorization of the truncated matrices — the contract the fixed-shape
+    L-BFGS history relies on."""
+    rng = np.random.default_rng(5)
+    n, m, k = 10, 8, 5  # only first k columns active
+    A, B, D, _ = rand_woodbury(rng, n, m, np.float64)
+    mask = (np.arange(m) < k).astype(np.float64)
+    D = D * mask[:, None] * mask[None, :]
+
+    W_masked = WoodburyPDMat.from_parts(A, B, D, col_mask=jnp.asarray(mask))
+    W_trunc = WoodburyPDMat.from_parts(A, B[:, :k], D[:k, :k])
+
+    np.testing.assert_allclose(W_masked.to_dense(), W_trunc.to_dense(), rtol=1e-10)
+    np.testing.assert_allclose(W_masked.logdet(), W_trunc.logdet(), rtol=1e-10)
+    x = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(W_masked.mul(x), W_trunc.mul(x), rtol=1e-10)
+    np.testing.assert_allclose(W_masked.solve(x), W_trunc.solve(x), rtol=1e-9)
+    np.testing.assert_allclose(W_masked.unwhiten(x), W_trunc.unwhiten(x), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(W_masked.whiten(x), W_trunc.whiten(x), rtol=1e-9, atol=1e-12)
+    # interleaved mask
+    mask2 = np.array([1, 0, 1, 1, 0, 1, 0, 0], dtype=np.float64)
+    D2 = rand_pd_mat(rng, m, np.float64) * mask2[:, None] * mask2[None, :]
+    W_m2 = WoodburyPDMat.from_parts(A, B, D2, col_mask=jnp.asarray(mask2))
+    idx = np.where(mask2 > 0)[0]
+    W_t2 = WoodburyPDMat.from_parts(A, B[:, idx], D2[np.ix_(idx, idx)])
+    np.testing.assert_allclose(W_m2.to_dense(), W_t2.to_dense(), rtol=1e-10)
+    np.testing.assert_allclose(W_m2.logdet(), W_t2.logdet(), rtol=1e-10)
+    np.testing.assert_allclose(W_m2.whiten(x), W_t2.whiten(x), rtol=1e-9, atol=1e-12)
+
+
+def test_all_masked_equals_diagonal():
+    rng = np.random.default_rng(9)
+    n, m = 6, 4
+    A = rng.uniform(0.5, 2.0, n)
+    B = rng.standard_normal((n, m))
+    D = rng.standard_normal((m, m))
+    D = D + D.T
+    mask = np.zeros(m)
+    W = WoodburyPDMat.from_parts(A, B, D, col_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(W.to_dense(), np.diag(A), rtol=1e-12)
+    np.testing.assert_allclose(W.logdet(), np.sum(np.log(A)), rtol=1e-12)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(W.whiten(x), x / np.sqrt(A), rtol=1e-12)
+
+
+def test_empty_lowrank_m0():
+    """m = 0 degenerate case (reference ``lbfgs_inverse_hessian`` with J = 0,
+    ``src/inverse_hessian.jl:103``)."""
+    A = jnp.array([1.0, 4.0, 9.0])
+    B = jnp.zeros((3, 0))
+    D = jnp.zeros((0, 0))
+    W = WoodburyPDMat.from_parts(A, B, D)
+    np.testing.assert_allclose(W.to_dense(), np.diag([1.0, 4.0, 9.0]))
+    np.testing.assert_allclose(W.logdet(), np.log(36.0))
+    x = jnp.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(W.mul(x), np.array([1.0, 8.0, 27.0]))
+    np.testing.assert_allclose(W.whiten(x), np.array([1.0, 1.0, 1.0]))
+
+
+def test_jit_vmap_compatibility():
+    rng = np.random.default_rng(17)
+    n, m, batch = 7, 4, 5
+    As = rng.uniform(0.5, 2.0, (batch, n))
+    Bs = rng.standard_normal((batch, n, m)) / np.sqrt(n)
+    Ds = np.stack([rand_pd_mat(rng, m, np.float64) for _ in range(batch)])
+
+    @jax.jit
+    @jax.vmap
+    def batched_logdet_and_solve(A, B, D):
+        W = WoodburyPDMat.from_parts(A, B, D)
+        return W.logdet(), W.solve(jnp.ones(n))
+
+    lds, solves = batched_logdet_and_solve(As, Bs, Ds)
+    for i in range(batch):
+        Wd = np.diag(As[i]) + Bs[i] @ Ds[i] @ Bs[i].T
+        np.testing.assert_allclose(lds[i], np.linalg.slogdet(Wd)[1], rtol=1e-9)
+        np.testing.assert_allclose(solves[i], np.linalg.solve(Wd, np.ones(n)), rtol=1e-8)
+
+    # pytree flatten/unflatten round trip
+    W = WoodburyPDMat.from_parts(As[0], Bs[0], Ds[0])
+    leaves, treedef = jax.tree_util.tree_flatten(W)
+    W2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    np.testing.assert_allclose(W2.to_dense(), W.to_dense())
+
+
+def test_non_pd_yields_nan_flag():
+    A = jnp.array([1.0, 1.0, 1.0])
+    B = jnp.eye(3)[:, :2]
+    D = jnp.diag(jnp.array([-2.0, 0.5]))  # makes W indefinite
+    W = WoodburyPDMat.from_parts(A, B, D)
+    assert not bool(W.is_finite_pd())
+    Agood = jnp.array([3.0, 3.0, 3.0])
+    Wg = WoodburyPDMat.from_parts(Agood, B, D)
+    assert bool(Wg.is_finite_pd())
