@@ -1,0 +1,85 @@
+"""Target log-density protocol.
+
+The JAX analog of the reference's ``LogDensityProblems`` input interface
+(``src/optimize.jl:1-33``, ``src/singlepath.jl:142-152``): a target exposes a
+dimension, a log density, and optionally its gradient; when no gradient is
+provided, ``jax.value_and_grad`` plays the role of the reference's default
+ForwardDiff AD backend (``src/Pathfinder.jl:38`` — reverse mode is the right
+default on TPU, as the reference's own docs recommend for high dimensions,
+``docs/src/examples/quickstart.md:240-241``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+
+__all__ = ["LogDensity", "as_log_density"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LogDensity:
+    """A target distribution: ``logp`` must be JAX-traceable over ``(dim,)``
+    arrays. ``value_and_grad`` returns ``(logp(x), ∇logp(x))``."""
+
+    logp: Callable
+    dim: Optional[int] = None
+    value_and_grad: Callable = None  # filled in __post_init__ if absent
+
+    def __post_init__(self):
+        if self.value_and_grad is None:
+            object.__setattr__(
+                self, "value_and_grad", jax.value_and_grad(self.logp)
+            )
+
+    # stable hash/eq by the underlying callables so jit caches persist
+    def __hash__(self):
+        return hash((self.logp, self.dim, self.value_and_grad))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, LogDensity)
+            and self.logp is other.logp
+            and self.dim == other.dim
+            and self.value_and_grad is other.value_and_grad
+        )
+
+
+def as_log_density(fn, dim=None, grad=None) -> LogDensity:
+    """Coerce user input into a :class:`LogDensity`.
+
+    Accepts (mirroring the reference's input dispatch,
+    ``src/singlepath.jl:142-152``):
+
+    * a :class:`LogDensity` (returned as-is, ``dim`` filled if missing);
+    * any object with ``logp`` and ``dim`` attributes (and optionally
+      ``value_and_grad`` / ``logp_and_grad``) — the LogDensityProblems analog;
+    * a plain callable ``logp(x) -> float`` (gradient via ``jax.grad`` unless
+      ``grad`` is supplied).
+    """
+    if isinstance(fn, LogDensity):
+        if dim is not None and fn.dim is None:
+            return dataclasses.replace(fn, dim=dim)
+        return fn
+    if hasattr(fn, "logp"):
+        logp = fn.logp
+        d = getattr(fn, "dim", dim)
+        vg = getattr(fn, "value_and_grad", None) or getattr(
+            fn, "logp_and_grad", None
+        )
+        if vg is None and grad is not None:
+            vg = _vg_from_parts(logp, grad)
+        return LogDensity(logp=logp, dim=d, value_and_grad=vg)
+    if callable(fn):
+        vg = _vg_from_parts(fn, grad) if grad is not None else None
+        return LogDensity(logp=fn, dim=dim, value_and_grad=vg)
+    raise TypeError(f"cannot interpret {type(fn)!r} as a log density")
+
+
+def _vg_from_parts(logp, grad):
+    def value_and_grad(x):
+        return logp(x), grad(x)
+
+    return value_and_grad

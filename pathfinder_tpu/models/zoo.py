@@ -1,0 +1,138 @@
+"""Model zoo: target densities for tests, benchmarks, and examples.
+
+Mirrors the targets the reference exercises in its tests and the driver's
+benchmark configs (``BASELINE.json``): Gaussians (diagonal / correlated),
+the banana density (``test/test_utils.jl:29-36``), Neal's funnel, and
+Bayesian logistic regression (German-credit-scale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathfinder_tpu.models.protocol import LogDensity
+
+__all__ = [
+    "StandardNormal",
+    "CorrelatedGaussian",
+    "NealsFunnel",
+    "Banana",
+    "LogisticRegression",
+    "german_credit_synthetic",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def StandardNormal(dim: int) -> LogDensity:
+    """N(0, I_dim)."""
+
+    def logp(x):
+        return -0.5 * (jnp.sum(x * x) + dim * _LOG_2PI)
+
+    return LogDensity(logp=logp, dim=dim)
+
+
+def CorrelatedGaussian(dim: int, rho: float = 0.8, seed: int = 0) -> LogDensity:
+    """N(μ, Σ) with a random rotation of an AR(1)-style spectrum — a dense
+    covariance exercising the full Woodbury logpdf/rand path (baseline
+    config 2)."""
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal(dim)
+    lam = rho ** np.arange(dim) + 0.05
+    Q = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
+    cov = Q @ np.diag(lam) @ Q.T
+    prec = np.linalg.inv(cov)
+    _, ld = np.linalg.slogdet(cov)
+    mu_j = jnp.asarray(mu)
+    prec_j = jnp.asarray(prec)
+    const = -0.5 * (dim * _LOG_2PI + ld)
+
+    def logp(x):
+        dx = x - mu_j
+        return const - 0.5 * dx @ (prec_j @ dx)
+
+    out = LogDensity(logp=logp, dim=dim)
+    out.__dict__["mean"] = mu
+    out.__dict__["cov"] = cov
+    return out
+
+
+def NealsFunnel(dim: int = 101, scale: float = 3.0) -> LogDensity:
+    """Neal's funnel: v ~ N(0, scale²), xᵢ | v ~ N(0, exp(v)) for the
+    remaining dim−1 coordinates (baseline config 3 uses dim=101)."""
+
+    def logp(z):
+        v, x = z[0], z[1:]
+        lp_v = -0.5 * (v / scale) ** 2 - 0.5 * _LOG_2PI - jnp.log(scale)
+        lp_x = -0.5 * jnp.sum(x * x) * jnp.exp(-v) - 0.5 * (dim - 1) * (
+            _LOG_2PI + v
+        )
+        return lp_v + lp_x
+
+    return LogDensity(logp=logp, dim=dim)
+
+
+def Banana(b: float = 0.03, sigma: float = 10.0) -> LogDensity:
+    """2-D banana density (parity: ``logp_banana``,
+    ``test/test_utils.jl:29-36``)."""
+
+    def logp(x):
+        x1, x2 = x[0], x[1]
+        return -0.5 * (x1 / sigma) ** 2 - 0.5 * (x2 + b * x1 * x1 - sigma * sigma * b) ** 2
+
+    return LogDensity(logp=logp, dim=2)
+
+
+def LogisticRegression(X, y, prior_scale: float = 10.0) -> LogDensity:
+    """Bayesian logistic regression posterior over coefficients (baseline
+    config 4: d ≈ 25, German credit)."""
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y, dtype=Xj.dtype)
+    d = Xj.shape[1]
+
+    def logp(beta):
+        logits = Xj @ beta
+        loglik = jnp.sum(yj * logits - jnp.logaddexp(0.0, logits))
+        logprior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
+        return loglik + logprior
+
+    return LogDensity(logp=logp, dim=d)
+
+
+def german_credit_synthetic(n: int = 1000, d: int = 25, seed: int = 0):
+    """Synthetic logistic-regression data at German-credit scale (the real
+    dataset is not shipped; shapes/conditioning match baseline config 4)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    X[:, 0] = 1.0  # intercept
+    beta_true = rng.standard_normal(d) / np.sqrt(d)
+    p = 1.0 / (1.0 + np.exp(-(X @ beta_true)))
+    y = (rng.uniform(size=n) < p).astype(np.float64)
+    return X, y, beta_true
+
+
+def HierarchicalGaussian(dim: int = 1000, seed: int = 0) -> LogDensity:
+    """Hierarchical posterior at baseline-config-5 scale: a global log-scale
+    coordinate controlling the variance of dim−1 locals (funnel-like but
+    milder), non-centered parameterization."""
+    rng = np.random.default_rng(seed)
+    obs = jnp.asarray(rng.standard_normal(dim - 1))
+
+    def logp(z):
+        log_tau, theta = z[0], z[1:]
+        lp_tau = -0.5 * (log_tau / 1.0) ** 2
+        lp_theta = -0.5 * jnp.sum(theta * theta)
+        sigma = jnp.exp(0.5 * log_tau)
+        lp_obs = -0.5 * jnp.sum((obs - sigma * theta) ** 2)
+        return lp_tau + lp_theta + lp_obs
+
+    return LogDensity(logp=logp, dim=dim)
+
+
+__all__.append("HierarchicalGaussian")

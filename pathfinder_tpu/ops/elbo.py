@@ -1,0 +1,75 @@
+"""Monte-Carlo ELBO estimation over trajectory candidates.
+
+Parity target: ``src/elbo.jl``. The reference evaluates the L candidate
+distributions in parallel task chunks with per-candidate seeds
+(``src/elbo.jl:2-5``); here every candidate is evaluated by one batched
+``vmap`` with a per-candidate ``fold_in`` key — the TPU analog that keeps the
+reference's determinism contract (results independent of how work is
+distributed) by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.ops.mvnormal import MvNormal
+from pathfinder_tpu.utils.misc import findmax_skipnan
+
+__all__ = ["ELBOEstimate", "elbo_and_samples", "maximize_elbo"]
+
+
+class ELBOEstimate(NamedTuple):
+    """Parity: ``ELBOEstimate`` (``src/elbo.jl:22-29``)."""
+
+    value: jax.Array  # () ELBO point estimate
+    std_err: jax.Array  # () Monte-Carlo SE
+    draws: jax.Array  # (d, ndraws)
+    log_densities_target: jax.Array  # (ndraws,)
+    log_densities_fit: jax.Array  # (ndraws,)
+    log_density_ratios: jax.Array  # (ndraws,)
+
+    def __repr__(self):  # pragma: no cover - cosmetic
+        try:
+            return f"ELBO estimate: {float(self.value):.2f} ± {float(self.std_err):.2f}"
+        except Exception:
+            return tuple.__repr__(self)
+
+
+def elbo_and_samples(
+    key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int
+) -> ELBOEstimate:
+    """One candidate's ELBO from ``ndraws`` fused draws (parity:
+    ``elbo_and_samples``, ``src/elbo.jl:12-20``)."""
+    draws, logq = dist.rand_and_logpdf(key, ndraws)
+    logp_x = jax.vmap(logp, in_axes=1)(draws)
+    logr = logp_x - logq
+    elbo = jnp.mean(logr)
+    var = jnp.sum((logr - elbo) ** 2) / jnp.maximum(ndraws - 1, 1)
+    se = jnp.sqrt(var / ndraws)
+    return ELBOEstimate(elbo, se, draws, logp_x, logq, logr)
+
+
+def maximize_elbo(
+    key: jax.Array,
+    logp: Callable,
+    dists: MvNormal,
+    ndraws: int,
+    valid_mask: jax.Array,
+):
+    """Estimate the ELBO of every candidate and take the NaN-skipping argmax
+    (parity: ``maximize_elbo``, ``src/elbo.jl:1-10``).
+
+    ``dists`` is a batched :class:`MvNormal` (leading axis = L candidates,
+    trajectory iterations 1..L); ``valid_mask`` marks real iterations.
+    Returns ``(best_index, estimates, best_value)`` where ``best_index``
+    indexes the candidate axis.
+    """
+    L = dists.mean.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(L))
+    ests = jax.vmap(lambda k, d: elbo_and_samples(k, logp, d, ndraws))(keys, dists)
+    values = jnp.where(valid_mask, ests.value, jnp.nan)
+    best, idx = findmax_skipnan(values)
+    return idx, ests, best

@@ -1,0 +1,293 @@
+"""Wolfe-condition line search as a fixed-budget ``lax.while_loop``.
+
+Plays the role of the reference's ``LineSearches.HagerZhang`` +
+``InitialHagerZhang`` defaults (``src/Pathfinder.jl:25-35``). Exact
+Hager-Zhang trajectory parity is impossible and not required (SURVEY §7);
+what matters is that accepted steps satisfy the (strong) Wolfe conditions so
+the L-BFGS curvature pairs are high quality. We implement the classic
+bracket + zoom scheme (Nocedal & Wright, Algorithms 3.5/3.6) with cubic
+interpolation, a bounded evaluation budget, and non-finite-objective
+backtracking (the jit-safe analog of the reference's NaN/Inf handling,
+``src/optimize.jl:103-105``).
+
+Everything is a single ``lax.while_loop`` over a scalar state machine —
+data-dependent iteration counts are expressed as masked fixed-budget control
+flow, never Python control flow, so the search can sit inside a ``scan`` /
+``vmap`` / ``shard_map`` tower.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["wolfe_line_search", "LineSearchResult", "initial_step_size"]
+
+# stages of the state machine
+_BRACKET = 0
+_ZOOM = 1
+_DONE = 2
+
+
+class LineSearchResult(NamedTuple):
+    step_size: jax.Array  # () accepted step (0 means failure / no progress)
+    f: jax.Array  # () objective at accepted point
+    g: jax.Array  # (d,) gradient at accepted point
+    num_evals: jax.Array  # () value_and_grad evaluations used
+    ok: jax.Array  # () bool: made finite progress with sufficient decrease
+
+
+class _State(NamedTuple):
+    stage: jax.Array
+    it: jax.Array
+    nev: jax.Array
+    # bracketing
+    a_prev: jax.Array
+    phi_prev: jax.Array
+    dphi_prev: jax.Array
+    a_cur: jax.Array
+    # zoom interval: lo always satisfies sufficient decrease
+    a_lo: jax.Array
+    phi_lo: jax.Array
+    dphi_lo: jax.Array
+    g_lo: jax.Array
+    a_hi: jax.Array
+    phi_hi: jax.Array
+    dphi_hi: jax.Array
+    # accepted point
+    a_acc: jax.Array
+    phi_acc: jax.Array
+    g_acc: jax.Array
+    accepted: jax.Array
+
+
+def _cubic_min(a, fa, dfa, b, fb, dfb):
+    """Minimizer of the cubic interpolant on [a, b] (N&W eq. 3.59)."""
+    d1 = dfa + dfb - 3.0 * (fa - fb) / (a - b)
+    under = d1 * d1 - dfa * dfb
+    d2 = jnp.sqrt(jnp.maximum(under, 0.0)) * jnp.sign(b - a)
+    denom = dfb - dfa + 2.0 * d2
+    cand = b - (b - a) * (dfb + d2 - d1) / denom
+    ok = (under >= 0) & jnp.isfinite(cand) & (jnp.abs(denom) > 1e-32)
+    mid = 0.5 * (a + b)
+    return jnp.where(ok, cand, mid)
+
+
+def initial_step_size(x0, f0, g0, psi0=0.01):
+    """First-iteration step guess (the reference's ``InitialHagerZhang`` I0
+    rule; later iterations use the natural quasi-Newton step 1)."""
+    xinf = jnp.max(jnp.abs(x0))
+    ginf = jnp.max(jnp.abs(g0))
+    gnormsq = jnp.sum(g0 * g0)
+    a_x = psi0 * xinf / jnp.maximum(ginf, 1e-32)
+    a_f = psi0 * jnp.abs(f0) / jnp.maximum(gnormsq, 1e-32)
+    one = jnp.ones_like(f0)
+    a = jnp.where(xinf > 0, a_x, jnp.where(jnp.abs(f0) > 0, a_f, one))
+    return jnp.where(jnp.isfinite(a) & (a > 0), a, one)
+
+
+def wolfe_line_search(
+    value_and_grad: Callable,
+    x: jax.Array,
+    f0: jax.Array,
+    g0: jax.Array,
+    direction: jax.Array,
+    alpha0: jax.Array,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    max_evals: int = 12,
+    expand: float = 2.0,
+) -> LineSearchResult:
+    """Find ``a`` with ``f(x + a p) ≤ f0 + c1·a·p·g0`` and ``|p·g(x+ap)| ≤
+    −c2·p·g0`` (strong Wolfe), within ``max_evals`` objective evaluations.
+
+    ``value_and_grad`` must return ``(f, g)`` of the *minimization* objective.
+    Non-finite trial values trigger geometric backtracking toward the last
+    finite point, so the search is safe on densities with bounded support.
+    """
+    dtype = x.dtype
+    p = direction
+    dphi0 = jnp.vdot(g0, p).astype(dtype)
+    zero = jnp.zeros((), dtype)
+
+    def phi(a):
+        fa, ga = value_and_grad(x + a * p)
+        return fa.astype(dtype), ga, jnp.vdot(ga, p).astype(dtype)
+
+    init = _State(
+        stage=jnp.asarray(_BRACKET),
+        it=jnp.asarray(0),
+        nev=jnp.asarray(0),
+        a_prev=zero,
+        phi_prev=f0,
+        dphi_prev=dphi0,
+        a_cur=jnp.asarray(alpha0, dtype),
+        a_lo=zero,
+        phi_lo=f0,
+        dphi_lo=dphi0,
+        g_lo=g0,
+        a_hi=zero,
+        phi_hi=f0,
+        dphi_hi=dphi0,
+        a_acc=zero,
+        phi_acc=f0,
+        g_acc=g0,
+        accepted=jnp.asarray(False),
+    )
+
+    def suff_decrease(a, phi_a):
+        return phi_a <= f0 + c1 * a * dphi0
+
+    def curvature_ok(dphi_a):
+        return jnp.abs(dphi_a) <= -c2 * dphi0
+
+    def bracket_step(s: _State) -> _State:
+        a = s.a_cur
+        phi_a, g_a, dphi_a = phi(a)
+        nev = s.nev + 1
+        bad = ~(jnp.isfinite(phi_a) & jnp.isfinite(dphi_a))
+
+        # Armijo violated or no longer decreasing -> zoom(prev, cur)
+        to_zoom_hi = (~suff_decrease(a, phi_a)) | (
+            (s.it > 0) & (phi_a >= s.phi_prev)
+        )
+        # strong Wolfe satisfied -> accept
+        accept = curvature_ok(dphi_a) & suff_decrease(a, phi_a)
+        # positive slope -> zoom(cur, prev) with cur as lo
+        to_zoom_lo = dphi_a >= 0
+
+        def on_bad(s):
+            # backtrack toward the last finite point
+            return s._replace(
+                a_cur=s.a_prev + 0.3 * (a - s.a_prev), it=s.it + 1, nev=nev
+            )
+
+        def on_accept(s):
+            return s._replace(
+                stage=jnp.asarray(_DONE),
+                a_acc=a,
+                phi_acc=phi_a,
+                g_acc=g_a,
+                accepted=jnp.asarray(True),
+                nev=nev,
+            )
+
+        def on_zoom_hi(s):
+            return s._replace(
+                stage=jnp.asarray(_ZOOM),
+                a_lo=s.a_prev,
+                phi_lo=s.phi_prev,
+                dphi_lo=s.dphi_prev,
+                # g_lo stays: gradient at a_prev (g0 when a_prev=0; otherwise
+                # a_prev was the previous trial whose gradient we carry)
+                a_hi=a,
+                phi_hi=phi_a,
+                dphi_hi=dphi_a,
+                it=s.it + 1,
+                nev=nev,
+            )
+
+        def on_zoom_lo(s):
+            return s._replace(
+                stage=jnp.asarray(_ZOOM),
+                a_lo=a,
+                phi_lo=phi_a,
+                dphi_lo=dphi_a,
+                g_lo=g_a,
+                a_hi=s.a_prev,
+                phi_hi=s.phi_prev,
+                dphi_hi=s.dphi_prev,
+                it=s.it + 1,
+                nev=nev,
+            )
+
+        def on_expand(s):
+            return s._replace(
+                a_prev=a,
+                phi_prev=phi_a,
+                dphi_prev=dphi_a,
+                g_lo=g_a,  # most recent point with sufficient decrease
+                a_lo=a,
+                phi_lo=phi_a,
+                dphi_lo=dphi_a,
+                a_cur=a * expand,
+                it=s.it + 1,
+                nev=nev,
+            )
+
+        idx = jnp.where(
+            bad, 0, jnp.where(to_zoom_hi, 1, jnp.where(accept, 2, jnp.where(to_zoom_lo, 3, 4)))
+        )
+        return lax.switch(idx, [on_bad, on_zoom_hi, on_accept, on_zoom_lo, on_expand], s)
+
+    def zoom_step(s: _State) -> _State:
+        lo, hi = s.a_lo, s.a_hi
+        width = jnp.abs(hi - lo)
+        a_j = _cubic_min(lo, s.phi_lo, s.dphi_lo, hi, s.phi_hi, s.dphi_hi)
+        # safeguard into the interior
+        lo_b = jnp.minimum(lo, hi) + 0.1 * width
+        hi_b = jnp.maximum(lo, hi) - 0.1 * width
+        a_j = jnp.clip(a_j, lo_b, hi_b)
+        phi_j, g_j, dphi_j = phi(a_j)
+        nev = s.nev + 1
+        bad = ~(jnp.isfinite(phi_j) & jnp.isfinite(dphi_j))
+
+        shrink_hi = bad | (~suff_decrease(a_j, phi_j)) | (phi_j >= s.phi_lo)
+        accept = (~shrink_hi) & curvature_ok(dphi_j)
+
+        def on_shrink_hi(s):
+            return s._replace(
+                a_hi=a_j,
+                phi_hi=jnp.where(bad, s.phi_hi, phi_j),
+                dphi_hi=jnp.where(bad, s.dphi_hi, dphi_j),
+                it=s.it + 1,
+                nev=nev,
+            )
+
+        def on_accept(s):
+            return s._replace(
+                stage=jnp.asarray(_DONE),
+                a_acc=a_j,
+                phi_acc=phi_j,
+                g_acc=g_j,
+                accepted=jnp.asarray(True),
+                nev=nev,
+            )
+
+        def on_move_lo(s):
+            # N&W 3.6: if dphi_j*(hi-lo) >= 0, hi <- lo
+            flip = dphi_j * (s.a_hi - s.a_lo) >= 0
+            return s._replace(
+                a_hi=jnp.where(flip, s.a_lo, s.a_hi),
+                phi_hi=jnp.where(flip, s.phi_lo, s.phi_hi),
+                dphi_hi=jnp.where(flip, s.dphi_lo, s.dphi_hi),
+                a_lo=a_j,
+                phi_lo=phi_j,
+                dphi_lo=dphi_j,
+                g_lo=g_j,
+                it=s.it + 1,
+                nev=nev,
+            )
+
+        idx = jnp.where(shrink_hi, 0, jnp.where(accept, 1, 2))
+        return lax.switch(idx, [on_shrink_hi, on_accept, on_move_lo], s)
+
+    def cond(s: _State):
+        return (s.stage != _DONE) & (s.nev < max_evals)
+
+    def body(s: _State):
+        return lax.cond(s.stage == _BRACKET, bracket_step, zoom_step, s)
+
+    final = lax.while_loop(cond, body, init)
+
+    # Exhausted budget: fall back to the best sufficient-decrease point (a_lo).
+    fallback_ok = (final.a_lo > 0) & jnp.isfinite(final.phi_lo) & (final.phi_lo < f0)
+    a = jnp.where(final.accepted, final.a_acc, jnp.where(fallback_ok, final.a_lo, 0.0))
+    f = jnp.where(final.accepted, final.phi_acc, jnp.where(fallback_ok, final.phi_lo, f0))
+    g = jnp.where(final.accepted, final.g_acc, jnp.where(fallback_ok, final.g_lo, g0))
+    ok = final.accepted | fallback_ok
+    return LineSearchResult(step_size=a, f=f, g=g, num_evals=final.nev, ok=ok)

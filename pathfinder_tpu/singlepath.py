@@ -1,0 +1,329 @@
+"""Single-path Pathfinder driver.
+
+Parity target: ``src/singlepath.jl``. The orchestration (optimize → fit →
+ELBO-argmax → draws, with a bounded retry loop) matches the reference; the
+execution model is TPU-native: one jitted fixed-shape core per
+(target, configuration), retried from the host only when a path fails
+(failures are rare and data-dependent — exactly the split SURVEY §7
+prescribes). All randomness comes from a single ``jax.random`` key, with
+per-(try, purpose) ``fold_in`` folding replicating the reference's
+determinism contract (``src/multipath.jl:162``, ``src/elbo.jl:2-5``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.models.protocol import LogDensity, as_log_density
+from pathfinder_tpu.ops.elbo import ELBOEstimate, maximize_elbo
+from pathfinder_tpu.ops.lbfgs import (
+    OptimizationTrace,
+    lbfgs_inverse_hessians,
+    minimize_lbfgs_trace,
+)
+from pathfinder_tpu.ops.mvnormal import MvNormal
+
+__all__ = [
+    "pathfinder",
+    "pathfinder_core",
+    "PathfinderResult",
+    "PathfinderConfig",
+    "uniform_init_sampler",
+    "SinglePathState",
+]
+
+
+class PathfinderConfig(NamedTuple):
+    """Static configuration of the jitted core (hashable — part of the jit
+    cache key). Defaults mirror ``src/Pathfinder.jl:24-27`` and
+    ``src/optimize.jl:41``."""
+
+    maxiters: int = 1000
+    history_length: int = 6
+    ndraws_elbo: int = 5
+    ndraws: int = 5
+    gtol: float = 1e-8
+    epsilon_curvature: float = 1e-12
+    max_ls_evals: int = 12
+    c1: float = 1e-4
+    c2: float = 0.9
+    fail_on_nonfinite: bool = True
+
+
+class SinglePathState(NamedTuple):
+    """Everything the jitted core computes for one path — a pure pytree, so
+    it can flow through ``vmap``/``shard_map`` in multipath unchanged."""
+
+    success: jax.Array  # () bool
+    trace: OptimizationTrace
+    fit_distributions: MvNormal  # batched (maxiters+1, ...)
+    point_mask: jax.Array  # (maxiters+1,)
+    fit_iteration: jax.Array  # () int, 1-based trajectory iteration
+    elbo_estimates: ELBOEstimate  # batched (maxiters,)
+    elbo_value: jax.Array  # () best ELBO
+    num_bfgs_updates_rejected: jax.Array  # ()
+    draws: jax.Array  # (d, ndraws)
+    fit_mean: jax.Array  # (d,) μ of the chosen fit
+    num_fn_evals: jax.Array  # ()
+
+    @property
+    def fit_distribution(self) -> MvNormal:
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf[self.fit_iteration], self.fit_distributions
+        )
+
+
+@partial(jax.jit, static_argnames=("target", "config"))
+def pathfinder_core(
+    key: jax.Array, x0: jax.Array, target: LogDensity, config: PathfinderConfig
+) -> SinglePathState:
+    """One Pathfinder attempt (parity: ``_pathfinder``,
+    ``src/singlepath.jl:285-325``), fully jitted and fixed-shape.
+
+    Pipeline: L-BFGS trajectory (``lax.while_loop``) → batched
+    inverse-Hessian fits → batched ELBO with NaN-skip argmax → draws.
+    """
+    cfg = config
+    key_elbo, key_extra = jax.random.split(key)
+
+    trace = minimize_lbfgs_trace(
+        target.value_and_grad,
+        x0,
+        maxiters=cfg.maxiters,
+        history_length=cfg.history_length,
+        gtol=cfg.gtol,
+        epsilon_curvature=cfg.epsilon_curvature,
+        max_ls_evals=cfg.max_ls_evals,
+        c1=cfg.c1,
+        c2=cfg.c2,
+        fail_on_nonfinite=cfg.fail_on_nonfinite,
+    )
+
+    covs, point_mask, nrej = lbfgs_inverse_hessians(
+        trace, history_length=cfg.history_length,
+        epsilon_curvature=cfg.epsilon_curvature,
+    )
+    # μ_l = θ_l + Σ_l ∇logp(θ_l)  (src/mvnormal.jl:17)
+    mus = jax.vmap(lambda c, g, x: x + c.mul(g))(covs, trace.gradients, trace.xs)
+    fit_distributions = MvNormal(mus, covs)
+
+    # candidates are iterations 1..L (skip the initial point,
+    # src/singlepath.jl:306-308)
+    candidates = jax.tree_util.tree_map(lambda leaf: leaf[1:], fit_distributions)
+    cand_valid = point_mask[1:]
+    best_idx, ests, best_elbo = maximize_elbo(
+        key_elbo, target.logp, candidates, cfg.ndraws_elbo, cand_valid
+    )
+
+    L = trace.num_valid - 1
+    success = (L > 0) & ~jnp.isnan(best_elbo) & (best_elbo != -jnp.inf)
+    fit_iteration = best_idx + 1  # trajectory iteration of the winner
+
+    # draws: reuse the winning ELBO draws, topping up / truncating to ndraws
+    # (src/singlepath.jl:227-233); on failure draw fresh from the chosen fit.
+    fit_dist = jax.tree_util.tree_map(
+        lambda leaf: leaf[fit_iteration], fit_distributions
+    )
+    winner_draws = jax.tree_util.tree_map(lambda leaf: leaf[best_idx], ests).draws
+    if cfg.ndraws <= cfg.ndraws_elbo:
+        reused = winner_draws[:, : cfg.ndraws]
+    else:
+        extra = fit_dist.sample(key_extra, cfg.ndraws - cfg.ndraws_elbo)
+        reused = jnp.concatenate([winner_draws, extra], axis=1)
+    fresh = fit_dist.sample(key_extra, cfg.ndraws)
+    draws = jnp.where(success, reused, fresh)
+
+    return SinglePathState(
+        success=success,
+        trace=trace,
+        fit_distributions=fit_distributions,
+        point_mask=point_mask,
+        fit_iteration=fit_iteration,
+        elbo_estimates=ests,
+        elbo_value=best_elbo,
+        num_bfgs_updates_rejected=nrej,
+        draws=draws,
+        fit_mean=fit_dist.mean,
+        num_fn_evals=trace.num_fn_evals,
+    )
+
+
+def uniform_init_sampler(scale: float = 2.0) -> Callable:
+    """IID U[−scale, scale] initial points (parity: ``UniformSampler``,
+    ``src/singlepath.jl:332-344``)."""
+    if scale <= 0:
+        raise ValueError("scale of uniform sampler must be positive.")
+
+    def sampler(key, dim, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, (dim,), dtype=dtype, minval=-scale, maxval=scale
+        )
+
+    return sampler
+
+
+@dataclasses.dataclass
+class PathfinderResult:
+    """Single-path result (parity: ``PathfinderResult``,
+    ``src/singlepath.jl:53-70``). ``optim_trace`` / ``fit_distributions`` /
+    ``elbo_estimates`` are fixed-shape with validity masks; use
+    ``optim_trace.num_valid`` for the trajectory length."""
+
+    input: Any
+    config: PathfinderConfig
+    key: jax.Array
+    logp: Callable
+    fit_distribution: MvNormal
+    draws: jax.Array  # (dim, ndraws)
+    fit_distribution_transformed: Any
+    draws_transformed: jax.Array
+    fit_iteration: int
+    num_tries: int
+    optim_trace: OptimizationTrace
+    fit_distributions: MvNormal  # batched over trajectory points
+    elbo_estimates: ELBOEstimate  # batched over iterations 1..maxiters
+    num_bfgs_updates_rejected: int
+    success: bool
+    num_fn_evals: int
+    state: SinglePathState = None
+
+    def __repr__(self):
+        n = int(self.optim_trace.num_valid) - 1
+        ev = self.elbo_estimates
+        try:
+            elbo_s = (
+                f"{float(ev.value[self.fit_iteration - 1]):.2f} ± "
+                f"{float(ev.std_err[self.fit_iteration - 1]):.2f}"
+            )
+        except Exception:
+            elbo_s = "n/a"
+        return (
+            "Single-path Pathfinder result\n"
+            f"  tries: {self.num_tries}\n"
+            f"  draws: {self.draws.shape[1]}\n"
+            f"  fit iteration: {self.fit_iteration} (total: {n})\n"
+            f"  fit ELBO: {elbo_s}"
+        )
+
+
+def pathfinder(
+    fn,
+    *,
+    key: jax.Array,
+    dim: Optional[int] = None,
+    init=None,
+    grad=None,
+    ndraws_elbo: int = 5,
+    ndraws: Optional[int] = None,
+    history_length: int = 6,
+    maxiters: int = 1000,
+    ntries: int = 1000,
+    init_scale: float = 2.0,
+    init_sampler: Optional[Callable] = None,
+    gtol: float = 1e-8,
+    dtype=None,
+    executor=None,
+    **config_overrides,
+) -> PathfinderResult:
+    """Find the ELBO-best multivariate-normal approximation along an L-BFGS
+    trajectory (parity: ``pathfinder``, ``src/singlepath.jl:85-257``).
+
+    ``fn`` may be a callable ``logp(x)``, a :class:`LogDensity`, or any
+    object with ``logp``/``dim`` attributes. Keyword parity with the
+    reference: ``dim``/``init``, ``init_scale``/``init_sampler``,
+    ``ndraws_elbo`` (default 5), ``ndraws``, ``history_length`` (default 6),
+    ``ntries`` (default 1000), ``maxiters`` (default 1000). ``key`` replaces
+    the reference's ``rng``. The reference's ``ntasks`` has no analog —
+    candidate evaluation is always batched.
+    """
+    target = as_log_density(fn, dim=dim, grad=grad)
+    if ndraws is None:
+        ndraws = ndraws_elbo
+    if init is not None:
+        init = jnp.asarray(init)
+        if dtype is not None:
+            init = init.astype(dtype)
+        d = init.shape[0]
+    else:
+        d = target.dim
+        if d is None:
+            raise ValueError("An initial point `init` or dimension `dim` must be provided.")
+    if target.dim is None:
+        target = dataclasses.replace(target, dim=d)
+        target = as_log_density(target)
+    if dtype is None:
+        dtype = init.dtype if init is not None else jnp.zeros(0).dtype
+    sampler = init_sampler or uniform_init_sampler(init_scale)
+
+    config = PathfinderConfig(
+        maxiters=maxiters,
+        history_length=history_length,
+        ndraws_elbo=ndraws_elbo,
+        ndraws=ndraws,
+        gtol=gtol,
+        **config_overrides,
+    )
+
+    core = executor or pathfinder_core
+
+    # retry loop (parity: _pathfinder_try_until_succeed,
+    # src/singlepath.jl:259-283): host-side, bounded, re-drawing the init
+    # point with per-try folded keys.
+    itry = 1
+    key_try = jax.random.fold_in(key, 0)
+    x0 = init if init is not None else sampler(
+        jax.random.fold_in(key_try, 1), d, dtype
+    )
+    state = core(key_try, x0, target, config)
+    while not bool(state.success) and itry < ntries:
+        itry += 1
+        key_try = jax.random.fold_in(key, itry - 1)
+        x0 = sampler(jax.random.fold_in(key_try, 1), d, dtype)
+        state = core(key_try, x0, target, config)
+
+    success = bool(state.success)
+    if not success:
+        warnings.warn(
+            f"Pathfinder failed after {itry} tries. Increase `ntries`, inspect "
+            "the model for numerical instability, or provide a more suitable "
+            "`init_sampler`."
+        )
+    nrej = int(state.num_bfgs_updates_rejected)
+    if nrej > 0:
+        total = int(state.trace.num_valid)
+        perc = round(nrej * 100.0 / max(total, 1), 1)
+        warnings.warn(
+            f"{nrej} ({perc}%) updates to the inverse Hessian estimate were "
+            "rejected to keep it positive definite."
+        )
+
+    fit_iteration = int(state.fit_iteration)
+    fit_distribution = jax.tree_util.tree_map(
+        lambda leaf: leaf[fit_iteration], state.fit_distributions
+    )
+
+    return PathfinderResult(
+        input=fn,
+        config=config,
+        key=key,
+        logp=target.logp,
+        fit_distribution=fit_distribution,
+        draws=state.draws,
+        fit_distribution_transformed=fit_distribution,
+        draws_transformed=state.draws,
+        fit_iteration=fit_iteration,
+        num_tries=itry,
+        optim_trace=state.trace,
+        fit_distributions=state.fit_distributions,
+        elbo_estimates=state.elbo_estimates,
+        num_bfgs_updates_rejected=nrej,
+        success=success,
+        num_fn_evals=int(state.num_fn_evals),
+        state=state,
+    )

@@ -1,0 +1,251 @@
+"""L-BFGS optimizer + inverse-Hessian reconstruction tests.
+
+Ports the strategy of reference ``test/inverse_hessian.jl`` (explicit
+textbook-formula checks including window rotation, and the semantic
+direction-cosine property) and ``test/optimize.jl`` (trace correctness and
+non-finite abort semantics).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.ops.lbfgs import (
+    OptimizationTrace,
+    gilbert_init,
+    history_windows,
+    lbfgs_inverse_hessian,
+    lbfgs_inverse_hessians,
+    minimize_lbfgs_trace,
+)
+from pathfinder_tpu.ops.linesearch import wolfe_line_search
+
+
+def explicit_bfgs_inverse_hessian(alpha, S, Y):
+    """Naive textbook recursion (reference
+    ``lbfgs_inverse_hessian_explicit``, ``test/inverse_hessian.jl:8-14``):
+    H = (I − ρ s yᵀ) H (I − ρ y sᵀ) + ρ s sᵀ from H₀ = diag(α), applying the
+    window pairs oldest → newest."""
+    d = alpha.shape[0]
+    H = np.diag(alpha)
+    I = np.eye(d)
+    for s, y in zip(S, Y):
+        rho = 1.0 / (y @ s)
+        V = I - rho * np.outer(s, y)
+        H = V @ H @ V.T + rho * np.outer(s, s)
+    return H
+
+
+def test_gilbert_init_formula():
+    rng = np.random.default_rng(0)
+    d = 7
+    alpha = rng.uniform(0.5, 2.0, d)
+    s = rng.standard_normal(d)
+    y = rng.standard_normal(d)
+    a = y @ np.diag(alpha) @ y
+    b = y @ s
+    c = s @ np.diag(1 / alpha) @ s
+    expected = b / (a / alpha + y**2 - (a / c) * (s / alpha) ** 2)
+    np.testing.assert_allclose(
+        gilbert_init(jnp.asarray(alpha), jnp.asarray(s), jnp.asarray(y)),
+        expected,
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("nactive", [0, 1, 3, 5])
+def test_inverse_hessian_matches_explicit(nactive):
+    """Compact Woodbury form vs textbook recursion, incl. partial windows
+    (reference ``test/inverse_hessian.jl:17-43``)."""
+    rng = np.random.default_rng(1)
+    d, J = 6, 5
+    alpha = rng.uniform(0.5, 2.0, d)
+    S = np.zeros((J, d))
+    Y = np.zeros((J, d))
+    mask = np.zeros(J)
+    for i in range(nactive):
+        s = rng.standard_normal(d)
+        y = s * rng.uniform(0.5, 2.0, d) + 0.1 * rng.standard_normal(d)
+        if y @ s <= 0:
+            y = s  # ensure positive curvature
+        S[i], Y[i], mask[i] = s, y, 1.0
+
+    W = lbfgs_inverse_hessian(
+        jnp.asarray(alpha), jnp.asarray(S), jnp.asarray(Y), jnp.asarray(mask)
+    )
+    H_expected = explicit_bfgs_inverse_hessian(alpha, S[:nactive], Y[:nactive])
+    np.testing.assert_allclose(W.to_dense(), H_expected, rtol=1e-8, atol=1e-10)
+    assert bool(W.is_finite_pd())
+    # operator surface works on the reconstructed H
+    v = rng.standard_normal(d)
+    np.testing.assert_allclose(W.mul(v), H_expected @ v, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        W.logdet(), np.linalg.slogdet(H_expected)[1], rtol=1e-8
+    )
+
+
+def test_history_windows_with_rejections():
+    # steps:    0  1  2  3  4  5
+    # accepted: y  n  y  y  n  y
+    accept = jnp.asarray([True, False, True, True, False, True])
+    idx, mask = history_windows(accept, history_length=2)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    # point l uses the ≤2 most recent accepted steps among 0..l-1
+    assert mask[0].sum() == 0
+    assert mask[1].tolist() == [False, True] and idx[1, 1] == 0
+    assert mask[2].tolist() == [False, True] and idx[2, 1] == 0
+    assert idx[3].tolist() == [0, 2] and mask[3].all()
+    assert idx[4].tolist() == [2, 3] and mask[4].all()
+    assert idx[5].tolist() == [2, 3] and mask[5].all()
+    assert idx[6].tolist() == [3, 5] and mask[6].all()
+
+
+def _quad_logp(prec_diag):
+    prec = jnp.asarray(prec_diag)
+
+    def logp(x):
+        return -0.5 * jnp.sum(prec * x * x)
+
+    return logp
+
+
+def test_minimize_quadratic_converges():
+    d = 10
+    rng = np.random.default_rng(2)
+    prec = rng.uniform(0.5, 3.0, d)
+    logp = _quad_logp(prec)
+    vg = jax.value_and_grad(logp)
+    x0 = jnp.asarray(rng.standard_normal(d))
+
+    trace = jax.jit(
+        lambda x: minimize_lbfgs_trace(vg, x, maxiters=100, history_length=6)
+    )(x0)
+    n = int(trace.num_valid)
+    assert 2 <= n <= 101
+    np.testing.assert_allclose(trace.xs[0], x0)
+    np.testing.assert_allclose(trace.xs[n - 1], np.zeros(d), atol=1e-6)
+    # trace stores logp and ∇logp (sign-flipped from minimizer view)
+    np.testing.assert_allclose(trace.log_densities[0], logp(x0), rtol=1e-12)
+    np.testing.assert_allclose(
+        trace.gradients[0], -prec * np.asarray(x0), rtol=1e-10, atol=1e-12
+    )
+    # log densities non-decreasing along the trajectory (Wolfe decrease)
+    lds = np.asarray(trace.log_densities[:n])
+    assert np.all(np.diff(lds) > -1e-12)
+    assert int(trace.num_bfgs_updates_rejected) == 0
+
+
+def test_minimize_rosenbrock():
+    def logp(x):
+        return -(100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2)
+
+    vg = jax.value_and_grad(logp)
+    x0 = jnp.asarray([-1.2, 1.0])
+    trace = minimize_lbfgs_trace(vg, x0, maxiters=200, history_length=6, gtol=1e-10)
+    n = int(trace.num_valid)
+    np.testing.assert_allclose(trace.xs[n - 1], [1.0, 1.0], atol=1e-5)
+
+
+def test_direction_cosine_property():
+    """The reconstructed H_l applied to ∇logp_l must be collinear with the
+    actual step s_{l+1} (reference ``test/inverse_hessian.jl:63-75``) —
+    exactly so here, since optimizer and reconstruction share the window."""
+    d = 8
+    rng = np.random.default_rng(3)
+    Amat = rng.standard_normal((d, d)) / np.sqrt(d)
+    prec = Amat @ Amat.T + np.eye(d)
+
+    def logp(x):
+        return -0.5 * x @ (jnp.asarray(prec) @ x)
+
+    vg = jax.value_and_grad(logp)
+    x0 = jnp.asarray(rng.standard_normal(d) * 3)
+    trace = minimize_lbfgs_trace(vg, x0, maxiters=60, history_length=5)
+    n = int(trace.num_valid)
+    assert n > 3
+
+    fits, mask, nrej = lbfgs_inverse_hessians(trace, history_length=5)
+    xs = np.asarray(trace.xs)
+    gs = np.asarray(trace.gradients)
+    for l in range(n - 1):
+        H_l = jax.tree_util.tree_map(lambda leaf: leaf[l], fits)
+        step_dir = H_l.mul(jnp.asarray(gs[l]))  # = H ∇logp = −H ∇f
+        s_actual = xs[l + 1] - xs[l]
+        cos = (step_dir @ s_actual) / (
+            np.linalg.norm(step_dir) * np.linalg.norm(s_actual)
+        )
+        assert cos > 1 - 1e-8, (l, cos)
+
+
+def test_inverse_hessians_first_is_identity():
+    """H₀ = I (reference ``src/inverse_hessian.jl:39-40``)."""
+    d = 4
+    logp = _quad_logp(np.ones(d))
+    vg = jax.value_and_grad(logp)
+    trace = minimize_lbfgs_trace(vg, jnp.ones(d), maxiters=20)
+    fits, mask, _ = lbfgs_inverse_hessians(trace)
+    H0 = jax.tree_util.tree_map(lambda leaf: leaf[0], fits)
+    np.testing.assert_allclose(H0.to_dense(), np.eye(d), atol=1e-12)
+
+
+def test_nonfinite_abort():
+    """NaN log density aborts cleanly; trajectory keeps only finite points
+    (reference abort semantics, ``src/optimize.jl:103-105``; divergence
+    documented: the non-finite point itself is not recorded)."""
+
+    def logp(x):
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(x[0] < 1.0, jnp.nan, clean)
+
+    vg = jax.value_and_grad(logp)
+    x0 = jnp.asarray([0.5, 0.5])  # starts inside the NaN region
+    trace = minimize_lbfgs_trace(vg, x0, maxiters=50)
+    assert int(trace.num_valid) == 1  # only the (bad) initial point
+    # a start in the good region that would have to cross the NaN wall
+    x1 = jnp.asarray([3.0, 0.0])
+    trace1 = minimize_lbfgs_trace(vg, x1, maxiters=50)
+    n1 = int(trace1.num_valid)
+    assert n1 >= 1
+    assert np.all(np.isfinite(np.asarray(trace1.xs[:n1]))), "trace has no NaNs"
+    assert np.all(np.isfinite(np.asarray(trace1.log_densities[:n1])))
+
+
+def test_wolfe_line_search_conditions():
+    def f_np(a):
+        return a**4 - 3 * a**2 + a  # nonconvex 1-D
+
+    def vg(x):
+        val = x[0] ** 4 - 3 * x[0] ** 2 + x[0]
+        grad = jnp.asarray([4 * x[0] ** 3 - 6 * x[0] + 1])
+        return val, grad
+
+    x = jnp.asarray([0.0])
+    f0, g0 = vg(x)
+    p = jnp.asarray([-1.0]) * jnp.sign(g0)  # descent
+    res = wolfe_line_search(vg, x, f0, g0, p, jnp.asarray(1.0))
+    assert bool(res.ok)
+    a = float(res.step_size)
+    dphi0 = float(g0 @ p)
+    # strong Wolfe conditions
+    assert f_np(-a * float(jnp.sign(g0[0]))) <= float(f0) + 1e-4 * a * dphi0
+    fa, ga = vg(x + a * p)
+    assert abs(float(ga @ p)) <= -0.9 * dphi0 + 1e-12
+
+
+def test_batched_minimize_under_vmap():
+    """The whole optimizer must vmap (path parallelism)."""
+    d = 5
+    prec = jnp.asarray(np.random.default_rng(5).uniform(0.5, 2.0, d))
+
+    def logp(x):
+        return -0.5 * jnp.sum(prec * x * x)
+
+    vg = jax.value_and_grad(logp)
+    x0s = jnp.asarray(np.random.default_rng(6).standard_normal((4, d)))
+    traces = jax.jit(
+        jax.vmap(lambda x: minimize_lbfgs_trace(vg, x, maxiters=50))
+    )(x0s)
+    for i in range(4):
+        n = int(traces.num_valid[i])
+        np.testing.assert_allclose(traces.xs[i, n - 1], np.zeros(d), atol=1e-5)

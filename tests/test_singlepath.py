@@ -1,0 +1,149 @@
+"""Single-path Pathfinder tests (porting ``test/singlepath.jl``).
+
+Covers: exact recovery of the standard normal (``:13-65``), dense covariance
+recovery (``:67-102``), retry-on-NaN logic (``:116-137``), seeded
+reproducibility (``:173-203``), and draw top-up/truncation semantics
+(``src/singlepath.jl:227-233``).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.models import Banana, CorrelatedGaussian, StandardNormal
+from pathfinder_tpu.singlepath import pathfinder, uniform_init_sampler
+
+
+def test_standard_normal_exact_recovery():
+    """Fit must be (0, I) to 1e-6 (reference ``test/singlepath.jl:38-41``)."""
+    d = 5
+    target = StandardNormal(d)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=100, maxiters=50)
+    assert res.success
+    assert res.num_tries == 1
+    np.testing.assert_allclose(res.fit_distribution.mean, np.zeros(d), atol=1e-6)
+    np.testing.assert_allclose(
+        res.fit_distribution.cov.to_dense(), np.eye(d), atol=1e-6
+    )
+    assert res.draws.shape == (d, 100)
+    # draws actually look like N(0, I)
+    assert np.all(np.abs(np.asarray(res.draws).mean(axis=1)) < 0.5)
+
+
+def test_dense_covariance_recovery():
+    """5-D correlated Gaussian: fit mean/cov within rtol 0.1 (reference
+    ``test/singlepath.jl:67-102`` with ndraws_elbo=500)."""
+    d = 5
+    target = CorrelatedGaussian(d, seed=1)
+    res = pathfinder(
+        target, key=jax.random.key(1), ndraws_elbo=500, maxiters=100,
+        history_length=d,  # full-memory BFGS can represent the dense cov
+    )
+    assert res.success
+    np.testing.assert_allclose(res.fit_distribution.mean, target.mean, atol=0.1)
+    np.testing.assert_allclose(
+        res.fit_distribution.cov.to_dense(), target.cov, rtol=0.25, atol=0.1
+    )
+
+
+def test_retry_until_success():
+    """Initial points landing in a NaN region must trigger retries
+    (reference retry test, ``test/singlepath.jl:116-137``, adapted: the
+    reference counts stateful calls, which is impossible under jit — here the
+    NaN region is spatial)."""
+
+    def logp(x):
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
+
+    # scale 8 => P(init inside |x|∞<3) = (6/16)^2 ≈ 14% per try
+    res = pathfinder(
+        logp, dim=2, key=jax.random.key(7), init_scale=8.0, ntries=500,
+        maxiters=30,
+    )
+    assert res.success
+    assert res.num_tries > 1
+    np.testing.assert_allclose(res.fit_distribution.mean, np.zeros(2), atol=1e-5)
+
+
+def test_failure_warns():
+    def logp(x):
+        return jnp.nan * jnp.sum(x)
+
+    with pytest.warns(UserWarning, match="failed after 5 tries"):
+        res = pathfinder(logp, dim=3, key=jax.random.key(0), ntries=5, maxiters=10)
+    assert not res.success
+
+
+def test_seeded_reproducibility():
+    """Identical keys give identical results; different keys differ
+    (reference ``test/singlepath.jl:173-203``)."""
+    target = Banana()
+    r1 = pathfinder(target, key=jax.random.key(3), ndraws=50, maxiters=60)
+    r2 = pathfinder(target, key=jax.random.key(3), ndraws=50, maxiters=60)
+    r3 = pathfinder(target, key=jax.random.key(4), ndraws=50, maxiters=60)
+    np.testing.assert_array_equal(np.asarray(r1.draws), np.asarray(r2.draws))
+    assert r1.fit_iteration == r2.fit_iteration
+    assert not np.array_equal(np.asarray(r1.draws), np.asarray(r3.draws))
+
+
+def test_draw_topup_and_truncation():
+    target = StandardNormal(3)
+    # ndraws > ndraws_elbo: reuse 5 ELBO draws + fresh top-up
+    res = pathfinder(target, key=jax.random.key(5), ndraws_elbo=5, ndraws=20, maxiters=30)
+    assert res.draws.shape == (3, 20)
+    winner = np.asarray(
+        jax.tree_util.tree_map(
+            lambda leaf: leaf[res.fit_iteration - 1], res.elbo_estimates
+        ).draws
+    )
+    np.testing.assert_array_equal(np.asarray(res.draws[:, :5]), winner)
+    # ndraws < ndraws_elbo: truncate
+    res2 = pathfinder(target, key=jax.random.key(5), ndraws_elbo=10, ndraws=4, maxiters=30)
+    assert res2.draws.shape == (3, 4)
+    winner2 = np.asarray(
+        jax.tree_util.tree_map(
+            lambda leaf: leaf[res2.fit_iteration - 1], res2.elbo_estimates
+        ).draws
+    )
+    np.testing.assert_array_equal(np.asarray(res2.draws), winner2[:, :4])
+
+
+def test_explicit_init_used():
+    target = StandardNormal(4)
+    init = jnp.asarray([1.0, -1.0, 2.0, 0.5])
+    res = pathfinder(target, key=jax.random.key(6), init=init, maxiters=30)
+    np.testing.assert_allclose(res.optim_trace.xs[0], init)
+    assert res.success
+
+
+def test_elbo_estimates_are_sane():
+    """For a Gaussian target the best candidate ELBO should be ≈ 0 (KL = 0)."""
+    target = StandardNormal(6)
+    res = pathfinder(target, key=jax.random.key(8), ndraws_elbo=30, maxiters=40)
+    best = float(res.elbo_estimates.value[res.fit_iteration - 1])
+    assert abs(best) < 0.2
+
+
+def test_banana_succeeds():
+    res = pathfinder(Banana(), key=jax.random.key(9), maxiters=200, ndraws=100)
+    assert res.success
+    assert res.draws.shape == (2, 100)
+    assert np.all(np.isfinite(np.asarray(res.draws)))
+
+
+def test_grad_supplied():
+    """User-provided gradient is honored (LogDensityProblems order-1 analog,
+    ``src/optimize.jl:1-29``)."""
+    calls = {"grad": 0}
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    def grad(x):
+        return -x
+
+    res = pathfinder(logp, dim=3, grad=grad, key=jax.random.key(10), maxiters=30)
+    assert res.success
+    np.testing.assert_allclose(res.fit_distribution.mean, np.zeros(3), atol=1e-6)
