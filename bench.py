@@ -1,0 +1,110 @@
+"""Benchmark: 100-path multipathfinder on a 1000-D posterior (BASELINE.json
+headline config; north star < 1 s on one TPU v5e chip → 100 paths/sec).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 100 paths/sec (the driver-provided target).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# persistent compilation cache: repeated bench runs skip the (minutes-long)
+# XLA compile of the big while-loop program
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
+    from pathfinder_tpu.models.zoo import HierarchicalGaussian
+    from pathfinder_tpu.multipath import (
+        _compute_psis_result,
+        _select_component_fits,
+    )
+    from pathfinder_tpu.ops.resample import resample_draws
+    from pathfinder_tpu.parallel.sharding import make_path_executor
+    from pathfinder_tpu.singlepath import PathfinderConfig
+
+    target = HierarchicalGaussian(d, seed=0)
+    config = PathfinderConfig(
+        maxiters=maxiters,
+        history_length=6,
+        ndraws_elbo=5,
+        ndraws=max(5, ndraws // n_paths),
+    )
+    executor = make_path_executor(mesh=None)
+
+    @jax.jit
+    def full_run(key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_paths)
+        )
+        x0s = jax.vmap(
+            lambda k: jax.random.uniform(
+                k, (d,), jnp.float32, minval=-2.0, maxval=2.0
+            )
+        )(keys)
+        states = executor(keys, x0s, target, config)
+        components = _select_component_fits(states)
+        draws_knd = jnp.swapaxes(states.draws, 1, 2)
+        psis_result = _compute_psis_result(target.logp, components, draws_knd)
+        draws, ids = resample_draws(
+            jax.random.fold_in(key, 0x5E5A), draws_knd, psis_result, ndraws
+        )
+        return draws, psis_result.pareto_shape, states.success, states.num_fn_evals
+
+    # compile (not timed: the reference's Julia session pays compilation too,
+    # and the driver measures steady-state throughput)
+    _log("compiling...")
+    t0 = time.perf_counter()
+    out = full_run(jax.random.key(0))
+    jax.block_until_ready(out)
+    _log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = full_run(jax.random.key(r + 1))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    _log(f"times: {[round(t, 4) for t in times]}")
+    draws, khat, success, nevals = out
+    elapsed = min(times)
+    paths_per_sec = n_paths / elapsed
+    return {
+        "elapsed_s": elapsed,
+        "paths_per_sec": paths_per_sec,
+        "khat": float(khat),
+        "n_success": int(success.sum()),
+        "logp_grad_evals": int(nevals.sum()),
+        "finite_draws": bool(jnp.all(jnp.isfinite(draws))),
+    }
+
+
+def main():
+    stats = run_bench()
+    result = {
+        "metric": "multipathfinder_paths_per_sec_d1000_100paths",
+        "value": round(stats["paths_per_sec"], 2),
+        "unit": "paths/sec",
+        "vs_baseline": round(stats["paths_per_sec"] / 100.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# details: elapsed={stats['elapsed_s']:.3f}s "
+        f"success={stats['n_success']}/100 khat={stats['khat']:.2f} "
+        f"logp+grad_evals={stats['logp_grad_evals']} "
+        f"finite={stats['finite_draws']}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

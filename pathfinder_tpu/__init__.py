@@ -7,12 +7,40 @@ covariance factors, ``vmap``/``shard_map`` path parallelism, and fused
 sampling kernels.
 """
 
+from pathfinder_tpu.models.protocol import LogDensity, as_log_density
+from pathfinder_tpu.multipath import (
+    MultiPathfinderResult,
+    multipathfinder,
+    resample,
+)
+from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
+from pathfinder_tpu.ops.psis import PSISResult, psis
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat, pdfactorize, pdunfactorize
+from pathfinder_tpu.parallel.sharding import make_path_executor, paths_mesh
+from pathfinder_tpu.singlepath import (
+    PathfinderConfig,
+    PathfinderResult,
+    pathfinder,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "pathfinder",
+    "multipathfinder",
+    "resample",
+    "PathfinderResult",
+    "MultiPathfinderResult",
+    "PathfinderConfig",
+    "LogDensity",
+    "as_log_density",
+    "MvNormal",
+    "UniformMixture",
     "WoodburyPDMat",
     "pdfactorize",
     "pdunfactorize",
+    "PSISResult",
+    "psis",
+    "paths_mesh",
+    "make_path_executor",
 ]

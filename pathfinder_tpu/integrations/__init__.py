@@ -1,0 +1,25 @@
+from pathfinder_tpu.integrations.hmc import (
+    WoodburyMetric,
+    hmc,
+    hmc_warm_start,
+    leapfrog,
+)
+from pathfinder_tpu.integrations.transforms import (
+    Exp,
+    Identity,
+    Interval,
+    Stacked,
+    TransformedLogDensity,
+)
+
+__all__ = [
+    "WoodburyMetric",
+    "leapfrog",
+    "hmc",
+    "hmc_warm_start",
+    "Identity",
+    "Exp",
+    "Interval",
+    "Stacked",
+    "TransformedLogDensity",
+]

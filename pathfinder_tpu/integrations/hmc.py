@@ -1,0 +1,242 @@
+"""HMC warm-start integration: low-rank Euclidean metric + sampler.
+
+Parity targets: the reference's AdvancedHMC extension (builds a
+``RankUpdateEuclideanMetric`` from the Woodbury fit covariance, reusing its
+factorization — ``ext/PathfinderAdvancedHMCExt.jl:17-23``) and DynamicHMC
+extension (``GaussianKineticEnergy(M⁻¹::WoodburyPDMat)`` with kinetic energy
+``quad(M⁻¹, p)/2`` and momentum square root from the factor —
+``ext/PathfinderDynamicHMCExt.jl:7-15``).
+
+Because neither BlackJAX nor NumPyro is assumed present, this module ships a
+self-contained jitted HMC with dual-averaging step-size adaptation that
+consumes the metric directly — playing the role the reference delegates to
+AdvancedHMC/DynamicHMC in its integration tests
+(``test/integration/*/runtests.jl``). The whole sampler is ``lax.scan``-based
+and vmaps over chains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pathfinder_tpu.ops.mvnormal import MvNormal
+from pathfinder_tpu.ops.woodbury import WoodburyPDMat
+
+__all__ = ["WoodburyMetric", "leapfrog", "hmc", "hmc_warm_start"]
+
+
+def _tree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    return jax.tree_util.register_dataclass(cls)
+
+
+@_tree_dataclass
+class WoodburyMetric:
+    """Euclidean metric with inverse mass matrix ``M⁻¹ = W`` (the Pathfinder
+    fit covariance), all operations in low-rank form via the cached
+    factorization — nothing n×n is ever formed.
+
+    * kinetic energy:  ``K(p) = pᵀ M⁻¹ p / 2 = quad(W, p)/2``
+      (ref ``ext/PathfinderDynamicHMCExt.jl:11-15``)
+    * its gradient:    ``∇K(p) = W p``
+    * momentum draws:  ``p = L⁻ᵀ z``, ``z ~ N(0, I)`` so ``cov(p) = L⁻ᵀL⁻¹ =
+      W⁻¹ = M`` (the reference's ``W_sqrt = inv(F.R)``,
+      ``ext/PathfinderDynamicHMCExt.jl:7-9``)
+    """
+
+    minv: WoodburyPDMat
+
+    @property
+    def dim(self) -> int:
+        return self.minv.dim
+
+    def kinetic_energy(self, p: jax.Array) -> jax.Array:
+        return 0.5 * self.minv.quad(p)
+
+    def grad_kinetic(self, p: jax.Array) -> jax.Array:
+        return self.minv.mul(p)
+
+    def sample_momentum(self, key: jax.Array) -> jax.Array:
+        z = jax.random.normal(key, (self.dim,), dtype=self.minv.dtype)
+        return self.minv.inv_unwhiten(z)  # L⁻ᵀ z
+
+    @staticmethod
+    def from_fit(fit: MvNormal) -> "WoodburyMetric":
+        return WoodburyMetric(fit.cov)
+
+    @staticmethod
+    def from_result(result) -> "WoodburyMetric":
+        """From a :class:`PathfinderResult` (single path)."""
+        return WoodburyMetric(result.fit_distribution.cov)
+
+
+def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps, n_steps: int):
+    """``n_steps`` leapfrog steps; returns ``(x, p, logp, grad)`` at the end.
+
+    ``value_and_grad(x) -> (logp, ∇logp)``; potential U = −logp.
+    """
+
+    def step(carry, _):
+        x, p, g = carry
+        p_half = p + 0.5 * eps * g  # g = ∇logp = −∇U
+        x_new = x + eps * metric.grad_kinetic(p_half)
+        logp_new, g_new = value_and_grad(x_new)
+        p_new = p_half + 0.5 * eps * g_new
+        return (x_new, p_new, g_new), logp_new
+
+    (x, p, g), logps = lax.scan(step, (x, p, grad_x), None, length=n_steps)
+    return x, p, logps[-1], g
+
+
+class HMCResult(NamedTuple):
+    samples: jax.Array  # (num_samples, d)
+    accept_prob: jax.Array  # (num_samples,)
+    step_size: jax.Array  # () adapted step size
+    log_densities: jax.Array  # (num_samples,)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "value_and_grad",
+        "num_samples",
+        "num_warmup",
+        "num_leapfrog",
+    ),
+)
+def hmc(
+    key: jax.Array,
+    value_and_grad: Callable,
+    metric: WoodburyMetric,
+    x0: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 300,
+    num_leapfrog: int = 16,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> HMCResult:
+    """Self-contained HMC with dual-averaging warmup, using the low-rank
+    Woodbury metric. One chain; ``vmap`` for many."""
+    dtype = x0.dtype
+    logp0, grad0 = value_and_grad(x0)
+
+    mu = jnp.log(10.0 * init_step_size)
+    da0 = (
+        jnp.asarray(jnp.log(init_step_size), dtype),  # log eps
+        jnp.zeros((), dtype),  # log eps averaged
+        jnp.zeros((), dtype),  # H accumulator
+    )
+
+    def transition(carry, inp):
+        x, logp, g, da, is_warmup_t = carry
+        k = inp
+        k_mom, k_acc, k_jit = jax.random.split(k, 3)
+        log_eps, log_eps_bar, h_acc = da
+        # jitter the step size to break resonances on near-Gaussian targets
+        eps = jnp.exp(log_eps) * jax.random.uniform(
+            k_jit, dtype=dtype, minval=0.8, maxval=1.2
+        )
+
+        p = metric.sample_momentum(k_mom)
+        ke0 = metric.kinetic_energy(p)
+        x_new, p_new, logp_new, g_new = leapfrog(
+            value_and_grad, metric, x, p, g, eps, num_leapfrog
+        )
+        ke1 = metric.kinetic_energy(p_new)
+        log_accept = (logp_new - ke1) - (logp - ke0)
+        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+        accept = jax.random.uniform(k_acc, dtype=dtype) < accept_prob
+
+        x = jnp.where(accept, x_new, x)
+        logp = jnp.where(accept, logp_new, logp)
+        g = jnp.where(accept, g_new, g)
+
+        # dual averaging (Hoffman & Gelman 2014, eq. 6) during warmup
+        t = is_warmup_t + 1.0
+        kappa, gamma, t0 = 0.75, 0.05, 10.0
+        h_acc_new = (1.0 - 1.0 / (t + t0)) * h_acc + (
+            target_accept - accept_prob
+        ) / (t + t0)
+        log_eps_new = mu - jnp.sqrt(t) / gamma * h_acc_new
+        w = t ** (-kappa)
+        log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
+        da_new = (log_eps_new, log_eps_bar_new, h_acc_new)
+
+        return (x, logp, g, da_new, t), (x, accept_prob, logp)
+
+    keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
+    carry = (x0, logp0, grad0, da0, jnp.zeros((), dtype))
+    carry, _ = lax.scan(transition, carry, keys_w)
+
+    # freeze the adapted step size for sampling
+    x, logp, g, (log_eps, log_eps_bar, h_acc), _ = carry
+    eps_final = jnp.exp(log_eps_bar)
+
+    def sample_transition(carry, k):
+        x, logp, g = carry
+        k_mom, k_acc, k_jit = jax.random.split(k, 3)
+        p = metric.sample_momentum(k_mom)
+        ke0 = metric.kinetic_energy(p)
+        eps_j = eps_final * jax.random.uniform(
+            k_jit, dtype=x.dtype, minval=0.8, maxval=1.2
+        )
+        x_new, p_new, logp_new, g_new = leapfrog(
+            value_and_grad, metric, x, p, g, eps_j, num_leapfrog
+        )
+        ke1 = metric.kinetic_energy(p_new)
+        log_accept = (logp_new - ke1) - (logp - ke0)
+        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+        accept = jax.random.uniform(k_acc, dtype=x.dtype) < accept_prob
+        x = jnp.where(accept, x_new, x)
+        logp = jnp.where(accept, logp_new, logp)
+        g = jnp.where(accept, g_new, g)
+        return (x, logp, g), (x, accept_prob, logp)
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 1), num_samples)
+    _, (xs, aps, lps) = lax.scan(sample_transition, (x, logp, g), keys_s)
+    return HMCResult(samples=xs, accept_prob=aps, step_size=eps_final, log_densities=lps)
+
+
+def hmc_warm_start(
+    key: jax.Array,
+    result,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 300,
+    num_leapfrog: int = 16,
+    draw_index: int = 0,
+    **kwargs,
+) -> HMCResult:
+    """Run HMC initialized from a Pathfinder result: initial position = a
+    Pathfinder draw, metric = the fit's Woodbury covariance (the reference's
+    primary use case, ``docs/src/index.md:21-37`` /
+    ``docs/src/examples/initializing-hmc.md``)."""
+    from pathfinder_tpu.models.protocol import as_log_density
+
+    target = as_log_density(result.input) if result.input is not None else None
+    vg = (
+        target.value_and_grad
+        if target is not None
+        else jax.value_and_grad(result.logp)
+    )
+    metric = WoodburyMetric.from_result(result)
+    x0 = result.draws[:, draw_index]
+    return hmc(
+        key,
+        vg,
+        metric,
+        x0,
+        num_samples=num_samples,
+        num_warmup=num_warmup,
+        num_leapfrog=num_leapfrog,
+        **kwargs,
+    )

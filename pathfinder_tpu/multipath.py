@@ -1,0 +1,343 @@
+"""Multi-path Pathfinder: batched paths → mixture → PSIS → resampling.
+
+Parity target: ``src/multipath.jl`` + ``src/resample.jl``. The reference
+fans K single-path runs out over task chunks (``src/multipath.jl:190-204``);
+here all K paths run as one batched program — ``vmap`` within a chip,
+optionally ``shard_map`` over a device mesh (see
+``pathfinder_tpu.parallel.sharding``). Per-path retries happen in bounded
+host-driven rounds re-running only failed lanes' keys, mirroring ``ntries``
+semantics without serializing (SURVEY §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathfinder_tpu.models.protocol import LogDensity, as_log_density
+from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
+from pathfinder_tpu.ops.psis import PSISResult, psis
+from pathfinder_tpu.ops.resample import resample_draws
+from pathfinder_tpu.parallel.sharding import make_path_executor, pad_paths
+from pathfinder_tpu.singlepath import (
+    PathfinderConfig,
+    PathfinderResult,
+    SinglePathState,
+    uniform_init_sampler,
+)
+
+__all__ = ["multipathfinder", "MultiPathfinderResult", "resample"]
+
+
+def _select_component_fits(states: SinglePathState) -> MvNormal:
+    """Per-path ELBO-winning fit distribution (batched over paths)."""
+    def one(fit_iter, dists):
+        return jax.tree_util.tree_map(lambda leaf: leaf[fit_iter], dists)
+
+    return jax.vmap(one)(states.fit_iteration, states.fit_distributions)
+
+
+@jax.jit
+def _log_importance_ratios_fit(components: MvNormal, draws_knd: jax.Array):
+    """logq of each draw under *its own* component (not the mixture!) —
+    reference semantics at ``src/resample.jl:81-89``."""
+    return jax.vmap(lambda c, dk: c.logpdf(dk.T))(components, draws_knd)
+
+
+def _compute_psis_result(
+    logp: Callable, components: MvNormal, draws_knd: jax.Array
+) -> PSISResult:
+    """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``)."""
+    log_q = _log_importance_ratios_fit(components, draws_knd)  # (K, N)
+    log_p = jax.vmap(jax.vmap(logp))(draws_knd)  # (K, N)
+    log_ratios = (log_p - log_q).reshape(-1)  # component-major
+    return psis(log_ratios)
+
+
+@dataclasses.dataclass
+class MultiPathfinderResult:
+    """Parity: ``MultiPathfinderResult`` (``src/multipath.jl:31-44``)."""
+
+    input: Any
+    config: PathfinderConfig
+    key: jax.Array
+    logp: Callable
+    fit_distribution: UniformMixture
+    draws: jax.Array  # (dim, ndraws)
+    draw_component_ids: jax.Array  # (ndraws,)
+    fit_distribution_transformed: Any
+    draws_transformed: jax.Array
+    states: SinglePathState  # batched over paths
+    psis_result: Optional[PSISResult]
+    num_tries: jax.Array  # (K,) tries per path
+    draws_per_component: jax.Array  # (K, N, d) pooled candidate draws
+    target: LogDensity = None
+    transform: Any = None  # integrations hook (Turing-ext analog)
+
+    @property
+    def nruns(self) -> int:
+        return self.states.draws.shape[0]
+
+    def path_result(self, k: int) -> PathfinderResult:
+        """Materialize the k-th path's :class:`PathfinderResult` view
+        (parity: ``pathfinder_results`` field)."""
+        st = jax.tree_util.tree_map(lambda leaf: leaf[k], self.states)
+        fit_iteration = int(st.fit_iteration)
+        fit_distribution = jax.tree_util.tree_map(
+            lambda leaf: leaf[fit_iteration], st.fit_distributions
+        )
+        return PathfinderResult(
+            input=self.input,
+            config=self.config,
+            key=self.key,
+            logp=self.logp,
+            fit_distribution=fit_distribution,
+            draws=st.draws,
+            fit_distribution_transformed=fit_distribution,
+            draws_transformed=st.draws,
+            fit_iteration=fit_iteration,
+            num_tries=int(self.num_tries[k]),
+            optim_trace=st.trace,
+            fit_distributions=st.fit_distributions,
+            elbo_estimates=st.elbo_estimates,
+            num_bfgs_updates_rejected=int(st.num_bfgs_updates_rejected),
+            success=bool(st.success),
+            num_fn_evals=int(st.num_fn_evals),
+            state=st,
+        )
+
+    @property
+    def pathfinder_results(self):
+        return [self.path_result(k) for k in range(self.nruns)]
+
+    def __repr__(self):
+        out = (
+            "Multi-path Pathfinder result\n"
+            f"  runs: {self.nruns}\n"
+            f"  draws: {self.draws.shape[1]}"
+        )
+        if self.psis_result is not None:
+            k = float(self.psis_result.pareto_shape)
+            out += (
+                f"\n  Pareto shape diagnostic: {k:.2f}"
+                f" ({self.psis_result.diagnosis})"
+            )
+        return out
+
+
+def multipathfinder(
+    fn,
+    ndraws: int,
+    *,
+    key: jax.Array,
+    nruns: Optional[int] = None,
+    init=None,
+    dim: Optional[int] = None,
+    grad=None,
+    ndraws_elbo: int = 5,
+    ndraws_per_run: Optional[int] = None,
+    importance: bool = True,
+    history_length: int = 6,
+    maxiters: int = 1000,
+    ntries: int = 1000,
+    init_scale: float = 2.0,
+    init_sampler: Optional[Callable] = None,
+    gtol: float = 1e-8,
+    mesh=None,
+    dtype=None,
+    **config_overrides,
+) -> MultiPathfinderResult:
+    """Run Pathfinder from ``nruns`` starting points, mix, and importance-
+    resample (parity: ``multipathfinder``, ``src/multipath.jl:118-245``).
+
+    Keyword parity: ``init`` (array ``(nruns, dim)``) or ``nruns`` + ``dim``;
+    ``ndraws_per_run`` defaults to ``max(ndraws_elbo, ceil(ndraws / nruns))``
+    (``src/multipath.jl:138``); ``importance=True`` enables PSIS. ``mesh``
+    shards the paths axis across devices. The reference's
+    ``ntasks``/``ntasks_per_run`` have no analog — everything is batched.
+    """
+    target = as_log_density(fn, dim=dim, grad=grad)
+
+    if init is not None:
+        init = jnp.asarray(init)
+        if init.ndim != 2:
+            raise ValueError("init must have shape (nruns, dim)")
+        nruns = init.shape[0]
+        d = init.shape[1]
+    else:
+        if nruns is None or nruns <= 0:
+            raise ValueError(
+                "A positive `nruns` must be set or `init` must be provided."
+            )
+        d = target.dim
+        if d is None:
+            raise ValueError("`dim` must be provided when `fn` has no dimension.")
+    if target.dim is None:
+        target = as_log_density(dataclasses.replace(target, dim=d))
+    if dtype is None:
+        dtype = init.dtype if init is not None else jnp.zeros(0).dtype
+    sampler = init_sampler or uniform_init_sampler(init_scale)
+
+    if ndraws_per_run is None:
+        ndraws_per_run = max(ndraws_elbo, -(-ndraws // max(nruns, 1)))
+    if ndraws > ndraws_per_run * nruns:
+        warnings.warn(
+            "More draws requested than total number of draws across replicas. "
+            "Draws will not be unique."
+        )
+
+    config = PathfinderConfig(
+        maxiters=maxiters,
+        history_length=history_length,
+        ndraws_elbo=ndraws_elbo,
+        ndraws=ndraws_per_run,
+        gtol=gtol,
+        **config_overrides,
+    )
+
+    K = pad_paths(nruns, mesh)
+    executor = make_path_executor(mesh)
+
+    def path_keys(round_idx: int):
+        return jax.vmap(
+            lambda i: jax.random.fold_in(
+                jax.random.fold_in(key, i), round_idx
+            )
+        )(jnp.arange(K))
+
+    def path_inits(keys, round_idx: int):
+        if init is not None and round_idx == 0:
+            pad = jnp.zeros((K - nruns, d), init.dtype)
+            return jnp.concatenate([init, pad], axis=0).astype(dtype)
+        return jax.vmap(lambda k: sampler(jax.random.fold_in(k, 1), d, dtype))(
+            keys
+        )
+
+    # round 0 for all paths, then bounded retry rounds for failed lanes only
+    # (parity: per-path ntries, src/singlepath.jl:259-283)
+    keys0 = path_keys(0)
+    states = executor(keys0, path_inits(keys0, 0), target, config)
+    num_tries = np.ones(K, dtype=np.int64)
+    rounds = 1
+    while rounds < ntries:
+        failed = np.array(~states.success)  # writable host copy
+        failed[nruns:] = False  # ignore padding lanes
+        if not failed.any():
+            break
+        keys_r = path_keys(rounds)
+        retry = executor(keys_r, path_inits(keys_r, rounds), target, config)
+
+        def merge(old, new):
+            f = jnp.asarray(failed).reshape((K,) + (1,) * (old.ndim - 1))
+            return jnp.where(f, new, old)
+
+        states = jax.tree_util.tree_map(merge, states, retry)
+        num_tries[failed] += 1
+        rounds += 1
+
+    # un-pad
+    if K != nruns:
+        states = jax.tree_util.tree_map(lambda leaf: leaf[:nruns], states)
+        num_tries = num_tries[:nruns]
+
+    n_failed = int(np.sum(~np.asarray(states.success)))
+    if n_failed:
+        warnings.warn(
+            f"{n_failed} of {nruns} Pathfinder runs failed after {ntries} "
+            "tries; their fits may contaminate the mixture."
+        )
+
+    components = _select_component_fits(states)
+    mixture = UniformMixture(components)
+    draws_knd = jnp.swapaxes(states.draws, 1, 2)  # (K, N, d)
+
+    psis_result = (
+        _compute_psis_result(target.logp, components, draws_knd)
+        if importance
+        else None
+    )
+    key_resample = jax.random.fold_in(key, 0x5E5A)
+    draws, component_ids = resample_draws(
+        key_resample, draws_knd, psis_result, ndraws
+    )
+
+    return MultiPathfinderResult(
+        input=fn,
+        config=config,
+        key=key,
+        logp=target.logp,
+        fit_distribution=mixture,
+        draws=draws,
+        draw_component_ids=component_ids,
+        fit_distribution_transformed=mixture,
+        draws_transformed=draws,
+        states=states,
+        psis_result=psis_result,
+        num_tries=jnp.asarray(num_tries),
+        draws_per_component=draws_knd,
+        target=target,
+    )
+
+
+def resample(
+    result: MultiPathfinderResult,
+    ndraws: int,
+    *,
+    key: Optional[jax.Array] = None,
+    replace: bool = True,
+    importance: bool = True,
+    ndraws_per_run: Optional[int] = None,
+) -> MultiPathfinderResult:
+    """Re-resample a finished result without re-optimizing (parity:
+    ``resample``, ``src/resample.jl:20-46``).
+
+    Reuses stored per-path draws (and the stored PSIS result) unless
+    ``ndraws_per_run`` requests fresh draws from each component; recomputes
+    PSIS when needed; preserves every other field
+    (``src/resample.jl:119-137``).
+    """
+    if key is None:
+        key = jax.random.fold_in(result.key, 0x7E5A)
+    components = result.fit_distribution.components
+
+    if ndraws_per_run is None:
+        draws_knd = result.draws_per_component
+        psis_stored = result.psis_result
+    else:
+        key, sub = jax.random.split(key)
+        K = components.mean.shape[0]
+        keys = jax.random.split(sub, K)
+        draws_knd = jax.vmap(
+            lambda c, k: c.sample(k, ndraws_per_run).T
+        )(components, keys)
+        psis_stored = None
+
+    if importance:
+        psis_used = (
+            psis_stored
+            if psis_stored is not None
+            else _compute_psis_result(result.logp, components, draws_knd)
+        )
+    else:
+        psis_used = None
+
+    draws, component_ids = resample_draws(
+        key, draws_knd, psis_used, ndraws, replace=replace
+    )
+    draws_transformed = (
+        result.transform.forward_draws(draws)
+        if result.transform is not None
+        else draws
+    )
+    return dataclasses.replace(
+        result,
+        draws=draws,
+        draw_component_ids=component_ids,
+        draws_transformed=draws_transformed,
+        psis_result=psis_used,
+    )

@@ -1,0 +1,65 @@
+"""Weighted resampling of pooled multi-path draws.
+
+Replaces the reference's ``StatsBase.sample`` usage (``src/resample.jl:
+58-72``): sampling *with* replacement is a categorical over the (smoothed)
+weights; *without* replacement uses Gumbel-top-k (Efraimidis–Spirakis), which
+draws exactly the successive weighted-without-replacement distribution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.ops.psis import PSISResult
+
+__all__ = ["resample_indices", "resample_draws"]
+
+
+def resample_indices(
+    key: jax.Array,
+    total: int,
+    ndraws: int,
+    log_weights: Optional[jax.Array] = None,
+    replace: bool = True,
+) -> jax.Array:
+    """Sample ``ndraws`` indices from ``0..total-1``; uniform when
+    ``log_weights`` is None."""
+    if replace:
+        if log_weights is None:
+            return jax.random.randint(key, (ndraws,), 0, total)
+        return jax.random.categorical(key, log_weights, shape=(ndraws,))
+    if ndraws > total:
+        raise ValueError(
+            f"cannot draw {ndraws} from {total} without replacement"
+        )
+    if log_weights is None:
+        return jax.random.permutation(key, total)[:ndraws]
+    g = jax.random.gumbel(key, (total,), dtype=log_weights.dtype)
+    _, idx = jax.lax.top_k(log_weights + g, ndraws)
+    return idx
+
+
+def resample_draws(
+    key: jax.Array,
+    draws_per_component: jax.Array,  # (K, N, d)
+    psis_result: Optional[PSISResult],
+    ndraws: int,
+    replace: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Parity: ``_resample`` (``src/resample.jl:58-72``).
+
+    Pools the ``(K, N, d)`` per-component draws (component-major order,
+    matching the reference's column-major ``vec``), samples ``ndraws`` of
+    them by PSIS weight (or uniformly when ``psis_result`` is None), and
+    returns ``(draws (d, ndraws), component_ids (ndraws,))``.
+    """
+    K, N, d = draws_per_component.shape
+    flat = draws_per_component.reshape(K * N, d)
+    lw = None if psis_result is None else psis_result.log_weights
+    idx = resample_indices(key, K * N, ndraws, lw, replace=replace)
+    draws = flat[idx].T
+    component_ids = idx // N
+    return draws, component_ids

@@ -1,0 +1,93 @@
+"""Path parallelism over device meshes.
+
+The reference's "parallel" axis is shared-memory task chunking over paths
+(``_chunk_tmap``, ``src/multipath.jl:190-204``; inventory in SURVEY §2c).
+The TPU-native equivalent implemented here:
+
+* **within a chip**: ``vmap`` over the paths axis — all K optimizations,
+  factorizations, and ELBO evaluations advance in lockstep as one batched
+  program (MXU-friendly);
+* **across chips**: ``shard_map`` of the vmapped core over a 1-D device mesh
+  with the paths axis sharded — single-path Pathfinder needs **zero
+  cross-device communication**, so each chip runs its shard of paths on pure
+  ICI-free compute; the only collectives in multipath are the implicit
+  all-gathers of the tiny per-path fits and K·N log-ratio scalars consumed by
+  PSIS/resampling, which XLA inserts at the jit boundary.
+
+Determinism contract (reference ``src/multipath.jl:162``, tested at
+``test/multipath.jl:107-140``): results are bit-identical for any mesh
+shape, because every path's randomness comes from ``fold_in(key, path_id)``
+— the counter-based analog of the reference's seeds-drawn-before-spawning.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pathfinder_tpu.singlepath import pathfinder_core
+
+__all__ = ["paths_mesh", "make_path_executor", "pad_paths"]
+
+PATHS_AXIS = "paths"
+
+
+def paths_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over all (or the given) devices with a ``paths`` axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (PATHS_AXIS,))
+
+
+def pad_paths(n: int, mesh: Optional[Mesh]) -> int:
+    """Smallest K' ≥ n divisible by the mesh size (1 when unsharded)."""
+    if mesh is None:
+        return n
+    size = mesh.devices.size
+    return ((n + size - 1) // size) * size
+
+
+def make_path_executor(mesh: Optional[Mesh] = None):
+    """Build ``executor(keys (K,), x0s (K, d), target, config) -> batched
+    SinglePathState``.
+
+    Without a mesh this is ``jit(vmap(core))`` on the default device; with a
+    mesh the vmapped core is ``shard_map``-ped over the paths axis (K must be
+    divisible by the mesh size — use :func:`pad_paths`).
+    """
+    def batched(keys, x0s, target, config):
+        return jax.vmap(
+            lambda k, x: pathfinder_core(k, x, target, config)
+        )(keys, x0s)
+
+    if mesh is None:
+        return batched
+
+    def sharded(keys, x0s, target, config):
+        fn = partial(batched, target=target, config=config)
+        # check_vma=False: the optimizer's while_loop carries start replicated
+        # (constants) and become device-varying — semantically fine here since
+        # paths never communicate, but the static VMA check rejects it.
+        try:
+            shmapped = jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(PATHS_AXIS), P(PATHS_AXIS)),
+                out_specs=P(PATHS_AXIS),
+                check_vma=False,
+            )
+        except TypeError:  # older jax spelling
+            shmapped = jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(PATHS_AXIS), P(PATHS_AXIS)),
+                out_specs=P(PATHS_AXIS),
+                check_rep=False,
+            )
+        return shmapped(keys, x0s)
+
+    return sharded

@@ -1,0 +1,149 @@
+"""Result serialization: save/load Pathfinder results without re-running.
+
+The reference has no checkpointing; its closest feature is post-hoc
+``resample`` on a stored in-session result (``src/resample.jl:20-46``),
+enabled by results retaining everything. Here results are pytrees, so we go
+further (new scope flagged in SURVEY §5): any result round-trips through one
+``.npz`` file containing a self-describing JSON structure plus the array
+leaves. Callables (the log density, user input objects) are not serialized —
+pass ``fn=`` at load time to re-bind them; everything needed by
+``resample``, ``WoodburyMetric``, and draw analysis is restored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["save_result", "load_result", "TYPE_REGISTRY"]
+
+
+def _registry():
+    from pathfinder_tpu.multipath import MultiPathfinderResult
+    from pathfinder_tpu.ops.elbo import ELBOEstimate
+    from pathfinder_tpu.ops.lbfgs import OptimizationTrace
+    from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
+    from pathfinder_tpu.ops.psis import PSISResult
+    from pathfinder_tpu.ops.woodbury import WoodburyFactor, WoodburyPDMat
+    from pathfinder_tpu.singlepath import (
+        PathfinderConfig,
+        PathfinderResult,
+        SinglePathState,
+    )
+
+    return {
+        cls.__name__: cls
+        for cls in [
+            MultiPathfinderResult,
+            PathfinderResult,
+            PathfinderConfig,
+            SinglePathState,
+            OptimizationTrace,
+            ELBOEstimate,
+            MvNormal,
+            UniformMixture,
+            WoodburyFactor,
+            WoodburyPDMat,
+            PSISResult,
+        ]
+    }
+
+
+TYPE_REGISTRY = _registry
+
+
+def _field_items(obj):
+    if dataclasses.is_dataclass(obj):
+        return [(f.name, getattr(obj, f.name)) for f in dataclasses.fields(obj)]
+    if hasattr(obj, "_fields"):  # NamedTuple
+        return list(zip(obj._fields, obj))
+    return None
+
+
+def _encode(obj, arrays: dict, counter: list):
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"lit": obj}
+    if isinstance(obj, jax.Array) and jnp.issubdtype(
+        obj.dtype, jax.dtypes.prng_key
+    ):
+        aid = f"a{counter[0]}"
+        counter[0] += 1
+        arrays[aid] = np.asarray(jax.random.key_data(obj))
+        return {"key": aid}
+    if isinstance(obj, (jax.Array, np.ndarray, np.generic)):
+        aid = f"a{counter[0]}"
+        counter[0] += 1
+        arrays[aid] = np.asarray(obj)
+        return {"arr": aid}
+    items = _field_items(obj)
+    if items is not None and type(obj).__name__ in TYPE_REGISTRY():
+        return {
+            "type": type(obj).__name__,
+            "fields": {k: _encode(v, arrays, counter) for k, v in items},
+        }
+    if isinstance(obj, (list, tuple)):
+        return {
+            "seq": [_encode(v, arrays, counter) for v in obj],
+            "tuple": isinstance(obj, tuple),
+        }
+    # callables / unknown objects: recorded as skipped
+    return {"skip": repr(type(obj))}
+
+
+def _decode(meta, arrays, rebind: dict):
+    if "lit" in meta:
+        return meta["lit"]
+    if "arr" in meta:
+        return jnp.asarray(arrays[meta["arr"]])
+    if "key" in meta:
+        return jax.random.wrap_key_data(jnp.asarray(arrays[meta["key"]]))
+    if "seq" in meta:
+        vals = [_decode(v, arrays, rebind) for v in meta["seq"]]
+        return tuple(vals) if meta.get("tuple") else vals
+    if "skip" in meta:
+        return None
+    if "type" in meta:
+        cls = TYPE_REGISTRY()[meta["type"]]
+        fields = {
+            k: _decode(v, arrays, rebind) for k, v in meta["fields"].items()
+        }
+        for k, v in rebind.items():
+            if k in fields and fields[k] is None:
+                fields[k] = v
+        return cls(**fields)
+    raise ValueError(f"bad meta node: {meta}")
+
+
+def save_result(path: str, result) -> None:
+    """Save any registered result/state pytree to ``<path>.npz``."""
+    arrays: dict = {}
+    meta = _encode(result, arrays, [0])
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_result(path: str, fn=None):
+    """Load a result saved by :func:`save_result`.
+
+    ``fn``: the original target (callable or :class:`LogDensity`); when
+    given, ``logp``/``target``/``input`` are re-bound so importance
+    re-resampling works on the loaded result.
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    rebind = {}
+    if fn is not None:
+        from pathfinder_tpu.models.protocol import as_log_density
+
+        target = as_log_density(fn)
+        rebind = {"logp": target.logp, "target": target, "input": fn}
+    return _decode(meta, data, rebind)

@@ -1,0 +1,159 @@
+"""Integration-layer tests.
+
+Ports the strategy of the reference's integration suites: Woodbury-metric ≡
+dense-metric identities (``test/integration/DynamicHMC/runtests.jl:57-73``,
+``test/integration/AdvancedHMC/runtests.jl:69-131``), warm-started sampling
+recovering posterior moments (``:133-226``), and transform/Jacobian
+correctness + exact recovery of transformed IID normals
+(``test/integration/Turing/runtests.jl:43-64,179-204``).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import stats
+
+from pathfinder_tpu.integrations.hmc import WoodburyMetric, hmc, hmc_warm_start, leapfrog
+from pathfinder_tpu.integrations.transforms import (
+    Exp,
+    Identity,
+    Interval,
+    Stacked,
+    TransformedLogDensity,
+)
+from pathfinder_tpu.models import CorrelatedGaussian, StandardNormal
+from pathfinder_tpu.ops.mvnormal import MvNormal
+from pathfinder_tpu.ops.woodbury import WoodburyPDMat
+from pathfinder_tpu.singlepath import pathfinder
+
+
+def make_metric(rng, n=6, m=4):
+    A = rng.uniform(0.5, 2.0, n)
+    B = (rng.standard_normal((n, m)) / np.sqrt(n))
+    U = np.linalg.qr(rng.standard_normal((m, m)))[0]
+    D = U @ np.diag(rng.uniform(0.5, 2.0, m)) @ U.T
+    W = WoodburyPDMat.from_parts(A, B, D)
+    W_dense = np.diag(A) + B @ D @ B.T
+    return WoodburyMetric(W), W_dense
+
+
+def test_metric_matches_dense():
+    """Kinetic energy / gradient / momentum distribution of the low-rank
+    metric must equal the dense metric's (reference DynamicHMC/AdvancedHMC
+    equivalence tests)."""
+    rng = np.random.default_rng(0)
+    metric, W_dense = make_metric(rng)
+    M_dense = np.linalg.inv(W_dense)  # mass matrix
+
+    p = rng.standard_normal(6)
+    np.testing.assert_allclose(
+        metric.kinetic_energy(jnp.asarray(p)), 0.5 * p @ W_dense @ p, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        metric.grad_kinetic(jnp.asarray(p)), W_dense @ p, rtol=1e-9
+    )
+
+    # momentum draws have covariance M = W⁻¹
+    keys = jax.random.split(jax.random.key(1), 200_000)
+    ps = jax.vmap(metric.sample_momentum)(keys)
+    emp_cov = np.cov(np.asarray(ps).T)
+    np.testing.assert_allclose(emp_cov, M_dense, atol=0.05, rtol=0.1)
+
+
+def test_leapfrog_energy_conservation():
+    d = 4
+    target = StandardNormal(d)
+    rng = np.random.default_rng(2)
+    metric, W_dense = make_metric(rng, n=d, m=2)
+    x = jnp.asarray(rng.standard_normal(d))
+    key = jax.random.key(0)
+    p = metric.sample_momentum(key)
+    logp0, g0 = target.value_and_grad(x)
+    h0 = float(metric.kinetic_energy(p) - logp0)
+    x1, p1, logp1, g1 = leapfrog(target.value_and_grad, metric, x, p, g0, 0.01, 100)
+    h1 = float(metric.kinetic_energy(p1) - logp1)
+    assert abs(h1 - h0) < 1e-3  # near-exact energy conservation at small eps
+
+
+def test_warm_started_hmc_posterior_agreement():
+    """Pathfinder → HMC recovers mean/cov of a correlated Gaussian within
+    MC error (the reference's NUTS-agreement tests at rtol 0.1)."""
+    d = 5
+    target = CorrelatedGaussian(d, seed=3)
+    res = pathfinder(
+        target, key=jax.random.key(0), ndraws=10, maxiters=80, history_length=d
+    )
+    assert res.success
+    out = hmc_warm_start(
+        jax.random.key(1),
+        res,
+        num_samples=4000,
+        num_warmup=500,
+        num_leapfrog=8,
+    )
+    xs = np.asarray(out.samples)
+    acc = float(np.mean(np.asarray(out.accept_prob)))
+    assert acc > 0.6, f"mean acceptance {acc}"
+    # z-test with generous MCSE (correlated samples)
+    np.testing.assert_allclose(xs.mean(axis=0), target.mean, atol=0.15)
+    np.testing.assert_allclose(np.cov(xs.T), target.cov, atol=0.3, rtol=0.3)
+
+
+def test_bijector_jacobians_vs_autodiff():
+    z = jnp.asarray(np.random.default_rng(4).standard_normal(5))
+    for bij in [Identity(), Exp(), Interval(-1.0, 2.5)]:
+        for zi in z:
+            expected = jnp.log(jnp.abs(jax.grad(lambda t: bij.forward(t))(zi)))
+            got = bij.forward_log_det(zi)
+            np.testing.assert_allclose(got, expected, rtol=1e-8)
+        # inverse round trip
+        np.testing.assert_allclose(bij.inverse(bij.forward(z)), z, rtol=1e-6, atol=1e-8)
+
+
+def test_stacked_bijector():
+    st = Stacked([(Identity(), 2), (Exp(), 1), (Interval(0.0, 1.0), 2)])
+    z = jnp.asarray([0.3, -0.5, 1.2, 0.1, -2.0])
+    x = st.forward(z)
+    assert x.shape == (5,)
+    np.testing.assert_allclose(st.inverse(x), z, rtol=1e-6)
+    expected = jnp.concatenate(
+        [
+            jnp.zeros(2),
+            z[2:3],
+            Interval(0.0, 1.0).forward_log_det(z[3:]),
+        ]
+    )
+    np.testing.assert_allclose(st.forward_log_det(z), expected, rtol=1e-8)
+
+
+def test_transformed_pathfinder_recovers_lognormal():
+    """x ~ LogNormal(μ, σ): in unconstrained space z = log x the target is
+    exactly N(μ, σ²), so Pathfinder must recover it to high precision and
+    forward_draws must return positive draws (the Turing-ext exact-recovery
+    test, ``test/integration/Turing/runtests.jl:179-204``)."""
+    mu, sigma = 0.7, 0.5
+
+    def logp_constrained(x):
+        # LogNormal density
+        return jnp.sum(
+            -0.5 * ((jnp.log(x) - mu) / sigma) ** 2
+            - jnp.log(x)
+            - jnp.log(sigma)
+            - 0.5 * jnp.log(2 * jnp.pi)
+        )
+
+    tld = TransformedLogDensity(
+        logp_constrained=logp_constrained, bijector=Exp(), dim=3
+    )
+    res = pathfinder(tld.unconstrained, key=jax.random.key(5), ndraws=200, maxiters=50)
+    assert res.success
+    np.testing.assert_allclose(res.fit_distribution.mean, np.full(3, mu), atol=1e-4)
+    np.testing.assert_allclose(
+        res.fit_distribution.cov.to_dense(), np.eye(3) * sigma**2, atol=1e-4
+    )
+    x_draws = tld.forward_draws(res.draws)
+    assert np.all(np.asarray(x_draws) > 0)
+    # constrained draws are lognormal: check the median roughly
+    med = np.median(np.asarray(x_draws))
+    assert abs(np.log(med) - mu) < 0.2

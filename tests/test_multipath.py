@@ -1,0 +1,171 @@
+"""Multi-path Pathfinder tests (porting ``test/multipath.jl``).
+
+Covers: result shape/metadata invariants (``:30-48``), moment recovery on a
+correlated Gaussian (``:49-61``), determinism — including across mesh shapes,
+the shard_map analog of the reference's ntasks-independence contract
+(``:107-140``) — and the ``resample`` behavior matrix (``:142-232``).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.models import CorrelatedGaussian, StandardNormal
+from pathfinder_tpu.multipath import multipathfinder, resample
+from pathfinder_tpu.parallel.sharding import paths_mesh
+
+
+def run_multi(key=0, nruns=6, ndraws=200, d=5, **kw):
+    target = CorrelatedGaussian(d, seed=2)
+    kw.setdefault("maxiters", 60)
+    kw.setdefault("history_length", d)
+    res = multipathfinder(
+        target, ndraws, key=jax.random.key(key), nruns=nruns, **kw
+    )
+    return res, target
+
+
+def test_shapes_and_metadata():
+    res, target = run_multi(ndraws=120, nruns=4)
+    d = 5
+    assert res.draws.shape == (d, 120)
+    assert res.draw_component_ids.shape == (120,)
+    assert set(np.unique(np.asarray(res.draw_component_ids))) <= set(range(4))
+    assert res.fit_distribution.ncomponents == 4
+    assert res.psis_result is not None
+    np.testing.assert_allclose(np.asarray(res.psis_result.weights).sum(), 1.0, rtol=1e-6)
+    assert res.nruns == 4
+    assert np.all(np.asarray(res.states.success))
+    assert "Pareto shape diagnostic" in repr(res)
+    # per-path result views
+    pr = res.path_result(0)
+    assert pr.success
+    assert pr.draws.shape[0] == d
+
+
+def test_moment_recovery():
+    """Pooled PSIS draws recover mean/cov of a correlated Gaussian (reference
+    ``test/multipath.jl:49-61`` with inflated asymptotic tolerances)."""
+    d = 5
+    res, target = run_multi(key=1, nruns=8, ndraws=4000, d=d, ndraws_per_run=600)
+    x = np.asarray(res.draws)
+    # resampling with replacement deflates ESS; allow wide tolerances
+    np.testing.assert_allclose(x.mean(axis=1), target.mean, atol=0.25)
+    np.testing.assert_allclose(np.cov(x), target.cov, atol=0.5, rtol=0.5)
+    k = float(res.psis_result.pareto_shape)
+    assert k < 0.7, f"pareto shape {k} should be good/ok on a Gaussian target"
+
+
+def test_reproducibility_and_key_sensitivity():
+    r1, _ = run_multi(key=3)
+    r2, _ = run_multi(key=3)
+    r3, _ = run_multi(key=4)
+    np.testing.assert_array_equal(np.asarray(r1.draws), np.asarray(r2.draws))
+    np.testing.assert_array_equal(
+        np.asarray(r1.draw_component_ids), np.asarray(r2.draw_component_ids)
+    )
+    assert not np.array_equal(np.asarray(r1.draws), np.asarray(r3.draws))
+
+
+def test_determinism_across_mesh_shapes():
+    """Draws are bit-identical with and without device sharding — the
+    shard_map analog of the reference's ntasks-independence tests
+    (``test/multipath.jl:107-140``)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh2 = paths_mesh(jax.devices()[:2])
+    mesh4 = paths_mesh(jax.devices()[:4])
+    r_none, _ = run_multi(key=5, nruns=8)
+    r_m2, _ = run_multi(key=5, nruns=8, mesh=mesh2)
+    r_m4, _ = run_multi(key=5, nruns=8, mesh=mesh4)
+    np.testing.assert_allclose(
+        np.asarray(r_none.draws), np.asarray(r_m2.draws), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_none.draws), np.asarray(r_m4.draws), rtol=0, atol=1e-12
+    )
+
+
+def test_mesh_padding_non_divisible():
+    mesh4 = paths_mesh(jax.devices()[:4])
+    res, _ = run_multi(key=6, nruns=6, mesh=mesh4)  # 6 paths on 4 devices
+    assert res.nruns == 6
+    assert np.all(np.asarray(res.states.success))
+
+
+def test_more_draws_than_pool_warns():
+    with pytest.warns(UserWarning, match="More draws requested"):
+        run_multi(ndraws=100, nruns=2, ndraws_per_run=10)
+
+
+def test_importance_false():
+    res, _ = run_multi(key=7, importance=False)
+    assert res.psis_result is None
+
+
+def test_explicit_init_matrix():
+    target = StandardNormal(3)
+    init = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (5, 3)))
+    res = multipathfinder(
+        target, 50, key=jax.random.key(8), init=init, maxiters=40
+    )
+    assert res.nruns == 5
+    assert res.draws.shape == (3, 50)
+
+
+class TestResample:
+    """Behavior matrix of post-hoc ``resample`` (reference
+    ``test/multipath.jl:142-232``)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        res, target = run_multi(key=9, nruns=4, ndraws=100, ndraws_per_run=50)
+        return res
+
+    def test_with_replacement_reuses_stored(self, result):
+        r2 = resample(result, 80)
+        assert r2.draws.shape == (5, 80)
+        # stored draws + stored PSIS reused: every draw is from the pool
+        pool = np.asarray(result.draws_per_component).reshape(-1, 5)
+        for col in np.asarray(r2.draws).T:
+            assert np.isclose(pool, col[None, :]).all(axis=1).any()
+        # original result not mutated
+        assert result.draws.shape == (5, 100)
+        assert r2.psis_result is result.psis_result
+
+    def test_without_replacement_unique(self, result):
+        r2 = resample(result, 60, replace=False)
+        cols = np.asarray(r2.draws).T
+        assert len(np.unique(cols.round(12), axis=0)) == 60
+
+    def test_without_importance(self, result):
+        r2 = resample(result, 50, importance=False)
+        assert r2.psis_result is None
+        assert r2.draws.shape == (5, 50)
+
+    def test_fresh_draws_per_run(self, result):
+        r2 = resample(result, 120, ndraws_per_run=100)
+        assert r2.draws.shape == (5, 120)
+        # fresh draws are NOT from the stored pool
+        pool = np.asarray(result.draws_per_component).reshape(-1, 5)
+        cols = np.asarray(r2.draws).T
+        overlap = sum(
+            bool(np.isclose(pool, c[None, :]).all(axis=1).any()) for c in cols
+        )
+        assert overlap == 0
+        # PSIS recomputed on the fresh pool
+        assert r2.psis_result is not result.psis_result
+
+    def test_field_preservation(self, result):
+        r2 = resample(result, 30)
+        assert r2.fit_distribution is result.fit_distribution
+        assert r2.states is result.states
+        assert r2.logp is result.logp
+        np.testing.assert_array_equal(
+            np.asarray(r2.num_tries), np.asarray(result.num_tries)
+        )
+
+    def test_deterministic_given_key(self, result):
+        a = resample(result, 40, key=jax.random.key(1))
+        b = resample(result, 40, key=jax.random.key(1))
+        np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
