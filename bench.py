@@ -88,7 +88,96 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
     }
 
 
+def _time_call(fn, *args, repeats=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def run_all_configs():
+    """The five BASELINE.md configs, each as one JSON line (steady-state
+    timings; compile excluded)."""
+    import numpy as np
+
+    from pathfinder_tpu import multipathfinder, pathfinder
+    from pathfinder_tpu.models.zoo import (
+        CorrelatedGaussian,
+        LogisticRegression,
+        NealsFunnel,
+        StandardNormal,
+        german_credit_synthetic,
+    )
+
+    results = []
+
+    # config 1: single-path 5-D diagonal Gaussian, ndraws=100
+    target1 = StandardNormal(5)
+    t, res = _time_call(
+        lambda k: pathfinder(target1, key=k, ndraws=100, maxiters=32),
+        jax.random.key(1),
+    )
+    results.append(("singlepath_5d_diag_gaussian_s", t, "s", res.success))
+
+    # config 2: single-path 100-D correlated Gaussian (dense Woodbury path)
+    target2 = CorrelatedGaussian(100, seed=0)
+    t, res = _time_call(
+        lambda k: pathfinder(
+            target2, key=k, ndraws=100, maxiters=128, history_length=20
+        ),
+        jax.random.key(2),
+    )
+    results.append(("singlepath_100d_correlated_gaussian_s", t, "s", res.success))
+
+    # config 3: multipath 8 paths + PSIS on 101-D Neal's funnel
+    target3 = NealsFunnel(101)
+    t, res = _time_call(
+        lambda k: multipathfinder(
+            target3, 400, key=k, nruns=8, maxiters=128, ntries=4
+        ),
+        jax.random.key(3),
+    )
+    results.append(
+        ("multipath_8paths_funnel101_s", t, "s", float(res.psis_result.pareto_shape))
+    )
+
+    # config 4: Bayesian logistic regression d=25, 32 paths
+    X, y, _ = german_credit_synthetic(n=1000, d=25, seed=0)
+    target4 = LogisticRegression(X.astype(np.float32), y.astype(np.float32))
+    t, res = _time_call(
+        lambda k: multipathfinder(target4, 1000, key=k, nruns=32, maxiters=64),
+        jax.random.key(4),
+    )
+    results.append(
+        ("multipath_32paths_logreg25_s", t, "s", float(res.psis_result.pareto_shape))
+    )
+
+    # config 5: 1000-path multipathfinder on 1000-D hierarchical posterior
+    stats5 = run_bench(d=1000, n_paths=1000, maxiters=64, ndraws=10_000, repeats=2)
+    results.append(
+        ("multipath_1000paths_hierarchical1000d_s", stats5["elapsed_s"], "s",
+         stats5["khat"])
+    )
+
+    for name, t, unit, extra in results:
+        print(
+            json.dumps(
+                {"metric": name, "value": round(t, 4), "unit": unit,
+                 "extra": extra}
+            )
+        )
+    return results
+
+
 def main():
+    if "--all" in sys.argv:
+        run_all_configs()
+        return
     stats = run_bench()
     result = {
         "metric": "multipathfinder_paths_per_sec_d1000_100paths",

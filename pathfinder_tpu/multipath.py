@@ -150,6 +150,7 @@ def multipathfinder(
     gtol: float = 1e-8,
     mesh=None,
     dtype=None,
+    progress: bool = False,
     **config_overrides,
 ) -> MultiPathfinderResult:
     """Run Pathfinder from ``nruns`` starting points, mix, and importance-
@@ -218,6 +219,12 @@ def multipathfinder(
             keys
         )
 
+    reporter = None
+    if progress:
+        from pathfinder_tpu.utils.progress import ThrottledProgress
+
+        reporter = ThrottledProgress(nruns, name="Multi-path Pathfinder")
+
     # round 0 for all paths, then bounded retry rounds for failed lanes only
     # (parity: per-path ntries, src/singlepath.jl:259-283)
     keys0 = path_keys(0)
@@ -227,6 +234,10 @@ def multipathfinder(
     while rounds < ntries:
         failed = np.array(~states.success)  # writable host copy
         failed[nruns:] = False  # ignore padding lanes
+        if reporter is not None:
+            reporter.update(
+                nruns - int(failed.sum()), extra=f"(round {rounds})"
+            )
         if not failed.any():
             break
         keys_r = path_keys(rounds)
@@ -239,6 +250,10 @@ def multipathfinder(
         states = jax.tree_util.tree_map(merge, states, retry)
         num_tries[failed] += 1
         rounds += 1
+
+    if reporter is not None:
+        reporter.update(nruns - int(np.sum(~np.asarray(states.success[:nruns]))))
+        reporter.close()
 
     # un-pad
     if K != nruns:

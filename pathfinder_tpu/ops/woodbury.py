@@ -162,6 +162,7 @@ def pdfactorize(
     B: jax.Array,
     D: jax.Array,
     col_mask: Optional[jax.Array] = None,
+    method: str = "chol",
 ) -> WoodburyFactor:
     """Factorize ``W = A + B D Bᵀ`` (parity: ``pdfactorize``, ``src/woodbury.jl:201-207``).
 
@@ -169,6 +170,18 @@ def pdfactorize(
     matrix. ``col_mask`` (shape ``(m,)``, values 0/1) marks active columns of
     ``B``; masked columns are treated as absent (the enabling trick for fixed
     shape L-BFGS history windows under ``vmap``/``scan``).
+
+    ``method``:
+
+    * ``"chol"`` (default, the TPU hot path): ridge-regularized Cholesky of
+      the Gram matrix, ``G̃ = XᵀX + δI``. Rank-deficient directions (masked
+      columns, m > n, duplicated history) lie in the null space of ``X``, so
+      the ridge's effect on the represented ``W`` is O(δ) — ``X`` annihilates
+      exactly the directions the ridge perturbs. Two small Cholesky solves;
+      no eigendecomposition.
+    * ``"eigh"``: rank-revealing symmetric eigendecomposition with exact
+      projection of null directions — maximally robust, but batched ``eigh``
+      of tiny matrices is ~5-10× slower on TPU.
     """
     dtype = jnp.result_type(A, B, D)
     A, B, D = A.astype(dtype), B.astype(dtype), D.astype(dtype)
@@ -191,22 +204,42 @@ def pdfactorize(
         eye0 = jnp.zeros((0, 0), dtype)
         return WoodburyFactor(a_half, X, eye0, eye0, log_det_A)
 
-    G = X.T @ X
-    lam, E = jnp.linalg.eigh(G)  # ascending eigenvalues
     eps = jnp.finfo(dtype).eps
-    tol = jnp.maximum(lam[-1], 0.0) * (32 * m * eps)
-    active = (lam > tol).astype(dtype)
-    lam_t = jnp.where(active > 0, lam, 1.0)
-    s = jnp.sqrt(lam_t)  # Λ̃^{1/2}
-
     eye = jnp.eye(m, dtype=dtype)
-    D_E = (E.T @ D @ E) * (active[:, None] * active[None, :])
-    M = eye + (s[:, None] * D_E) * s[None, :]
-    V = jnp.linalg.cholesky(M)  # lower, M = V Vᵀ
-    V_inv = solve_triangular(V, eye, lower=True)
-    inv_ss = 1.0 / (s[:, None] * s[None, :])
-    C = E @ ((V - eye) * inv_ss) @ E.T
-    Ci = E @ ((V_inv - eye) * inv_ss) @ E.T
+    G = X.T @ X
+    if col_mask is not None:
+        G = G + eye * (1.0 - col_mask)
+
+    if method == "chol":
+        scale = jnp.maximum(jnp.max(jnp.diagonal(G)), 1.0)
+        ridge = (32 * m * eps) * scale
+        K = jnp.linalg.cholesky(G + ridge * eye)  # lower, G̃ = K Kᵀ, R = Kᵀ
+        M = eye + K.T @ D @ K  # I + R D Rᵀ
+        V = jnp.linalg.cholesky(M)  # lower, M = V Vᵀ
+        V_inv = solve_triangular(V, eye, lower=True)
+
+        def core(T):  # K⁻ᵀ T K⁻¹
+            P = solve_triangular(K, T, lower=True, trans=1)
+            return solve_triangular(K, P.T, lower=True, trans=1).T
+
+        C = core(V - eye)
+        Ci = core(V_inv - eye)
+    elif method == "eigh":
+        lam, E = jnp.linalg.eigh(G)  # ascending eigenvalues
+        tol = jnp.maximum(lam[-1], 0.0) * (32 * m * eps)
+        active = (lam > tol).astype(dtype)
+        lam_t = jnp.where(active > 0, lam, 1.0)
+        s = jnp.sqrt(lam_t)  # Λ̃^{1/2}
+        D_E = (E.T @ D @ E) * (active[:, None] * active[None, :])
+        M = eye + (s[:, None] * D_E) * s[None, :]
+        V = jnp.linalg.cholesky(M)  # lower, M = V Vᵀ
+        V_inv = solve_triangular(V, eye, lower=True)
+        inv_ss = 1.0 / (s[:, None] * s[None, :])
+        C = E @ ((V - eye) * inv_ss) @ E.T
+        Ci = E @ ((V_inv - eye) * inv_ss) @ E.T
+    else:
+        raise ValueError(f"unknown factorization method {method!r}")
+
     log_det = log_det_A + 2.0 * jnp.sum(jnp.log(jnp.diagonal(V)))
     return WoodburyFactor(a_half, X, C, Ci, log_det)
 
@@ -242,11 +275,11 @@ class WoodburyPDMat:
 
     # -- constructors ---------------------------------------------------------
     @staticmethod
-    def from_parts(A, B, D, col_mask=None) -> "WoodburyPDMat":
+    def from_parts(A, B, D, col_mask=None, method="chol") -> "WoodburyPDMat":
         A = jnp.asarray(A)
         B = jnp.asarray(B)
         D = jnp.asarray(D)
-        F = pdfactorize(A, B, D, col_mask=col_mask)
+        F = pdfactorize(A, B, D, col_mask=col_mask, method=method)
         if col_mask is not None:
             cm = col_mask.astype(B.dtype)
             B = B * cm

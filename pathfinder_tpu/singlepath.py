@@ -229,6 +229,7 @@ def pathfinder(
     gtol: float = 1e-8,
     dtype=None,
     executor=None,
+    progress: bool = False,
     **config_overrides,
 ) -> PathfinderResult:
     """Find the ELBO-best multivariate-normal approximation along an L-BFGS
@@ -275,7 +276,11 @@ def pathfinder(
     # retry loop (parity: _pathfinder_try_until_succeed,
     # src/singlepath.jl:259-283): host-side, bounded, re-drawing the init
     # point with per-try folded keys.
+    import sys as _sys
+
     itry = 1
+    if progress:
+        print("Optimizing (try 1)", file=_sys.stderr)
     key_try = jax.random.fold_in(key, 0)
     x0 = init if init is not None else sampler(
         jax.random.fold_in(key_try, 1), d, dtype
@@ -283,6 +288,8 @@ def pathfinder(
     state = core(key_try, x0, target, config)
     while not bool(state.success) and itry < ntries:
         itry += 1
+        if progress:
+            print(f"Optimizing (try {itry})", file=_sys.stderr)
         key_try = jax.random.fold_in(key, itry - 1)
         x0 = sampler(jax.random.fold_in(key_try, 1), d, dtype)
         state = core(key_try, x0, target, config)

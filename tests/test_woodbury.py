@@ -198,6 +198,33 @@ def test_masked_columns_match_truncated():
     np.testing.assert_allclose(W_m2.whiten(x), W_t2.whiten(x), rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("method", ["chol", "eigh"])
+def test_methods_agree_on_deficient_cases(method):
+    """Both factorization routes must represent W correctly on the hard
+    cases: duplicated columns (exact quadratic L-BFGS histories) and
+    m > n."""
+    rng = np.random.default_rng(21)
+    # duplicated columns
+    n, mh = 8, 3
+    A = rng.uniform(0.5, 2.0, n)
+    Bh = rng.standard_normal((n, mh)) / np.sqrt(n)
+    B = np.concatenate([Bh, Bh], axis=1)  # exact duplicates
+    Dh = rand_pd_mat(rng, 2 * mh, np.float64) * 0.3
+    Wd = np.diag(A) + B @ Dh @ B.T
+    W = WoodburyPDMat.from_parts(A, B, Dh, method=method)
+    np.testing.assert_allclose(W.to_dense(), Wd, rtol=1e-9, atol=1e-11)
+    L = np.asarray(W.factor.dense_L())
+    np.testing.assert_allclose(L @ L.T, Wd, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(W.logdet(), np.linalg.slogdet(Wd)[1], rtol=1e-9)
+    # m > n
+    A2, B2, D2, Wd2 = rand_woodbury(rng, 4, 9, np.float64)
+    W2 = WoodburyPDMat.from_parts(A2, B2, D2, method=method)
+    np.testing.assert_allclose(W2.to_dense(), Wd2, rtol=1e-9, atol=1e-11)
+    x = rng.standard_normal((4, 3))
+    np.testing.assert_allclose(W2.solve(x), np.linalg.solve(Wd2, x), rtol=1e-7)
+    np.testing.assert_allclose(W2.logdet(), np.linalg.slogdet(Wd2)[1], rtol=1e-9)
+
+
 def test_all_masked_equals_diagonal():
     rng = np.random.default_rng(9)
     n, m = 6, 4
