@@ -151,6 +151,9 @@ def minimize_lbfgs_trace(
     d = x0.shape[0]
     dtype = x0.dtype
     J = history_length
+    # unreachable gradient tolerances in low precision waste a full failed
+    # line search at the trajectory end — clamp to the dtype's resolution
+    gtol = max(gtol, float(25 * jnp.finfo(dtype).eps))
 
     def neg_vg(x):
         lp, glp = value_and_grad(x)
