@@ -35,11 +35,9 @@ __all__ = ["multipathfinder", "MultiPathfinderResult", "resample"]
 
 
 def _select_component_fits(states: SinglePathState) -> MvNormal:
-    """Per-path ELBO-winning fit distribution (batched over paths)."""
-    def one(fit_iter, dists):
-        return jax.tree_util.tree_map(lambda leaf: leaf[fit_iter], dists)
-
-    return jax.vmap(one)(states.fit_iteration, states.fit_distributions)
+    """Per-path ELBO-winning fit distribution (batched over paths) — the
+    core already selects its winner, so this is just the field."""
+    return states.fit_distribution
 
 
 @jax.jit
@@ -87,24 +85,20 @@ class MultiPathfinderResult:
         """Materialize the k-th path's :class:`PathfinderResult` view
         (parity: ``pathfinder_results`` field)."""
         st = jax.tree_util.tree_map(lambda leaf: leaf[k], self.states)
-        fit_iteration = int(st.fit_iteration)
-        fit_distribution = jax.tree_util.tree_map(
-            lambda leaf: leaf[fit_iteration], st.fit_distributions
-        )
         return PathfinderResult(
             input=self.input,
             config=self.config,
             key=self.key,
             logp=self.logp,
-            fit_distribution=fit_distribution,
+            fit_distribution=st.fit_distribution,
             draws=st.draws,
-            fit_distribution_transformed=fit_distribution,
+            fit_distribution_transformed=st.fit_distribution,
             draws_transformed=st.draws,
-            fit_iteration=fit_iteration,
+            fit_iteration=int(st.fit_iteration),
             num_tries=int(self.num_tries[k]),
             optim_trace=st.trace,
-            fit_distributions=st.fit_distributions,
-            elbo_estimates=st.elbo_estimates,
+            elbo_values=st.elbo_values,
+            elbo_se=st.elbo_se,
             num_bfgs_updates_rejected=int(st.num_bfgs_updates_rejected),
             success=bool(st.success),
             num_fn_evals=int(st.num_fn_evals),

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 from pathfinder_tpu.ops.mvnormal import MvNormal
 from pathfinder_tpu.utils.misc import findmax_skipnan
 
-__all__ = ["ELBOEstimate", "elbo_and_samples", "maximize_elbo"]
+__all__ = [
+    "ELBOEstimate",
+    "elbo_and_samples",
+    "elbo_stats",
+    "maximize_elbo",
+    "maximize_elbo_chunked",
+]
 
 
 class ELBOEstimate(NamedTuple):
@@ -50,6 +56,52 @@ def elbo_and_samples(
     var = jnp.sum((logr - elbo) ** 2) / jnp.maximum(ndraws - 1, 1)
     se = jnp.sqrt(var / ndraws)
     return ELBOEstimate(elbo, se, draws, logp_x, logq, logr)
+
+
+def elbo_stats(key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int):
+    """Compact (value, std_err) ELBO estimate — the draws are NOT retained;
+    they are deterministically replayable from the same key via
+    :func:`elbo_and_samples` (pure-functional PRNG = free checkpoint/replay,
+    replacing the reference's stored per-candidate draw matrices)."""
+    est = elbo_and_samples(key, logp, dist, ndraws)
+    return est.value, est.std_err
+
+
+def maximize_elbo_chunked(
+    key: jax.Array,
+    logp: Callable,
+    make_chunk_dists: Callable,
+    num_candidates: int,
+    chunk_size: int,
+    ndraws: int,
+    valid_mask: jax.Array,
+):
+    """Chunked ELBO maximization: candidates are materialized ``chunk_size``
+    at a time by ``make_chunk_dists(candidate_indices) -> batched MvNormal``
+    inside a ``lax.map``, bounding memory to O(chunk · d · m) instead of
+    O(L · d · m) — the fixed-shape answer to the reference's per-candidate
+    task loop at large ``maxiters``. Returns ``(best_idx, values, ses,
+    best_value)`` with per-candidate keys identical to
+    :func:`maximize_elbo` (``fold_in(key, candidate_index)``)."""
+    C = chunk_size
+    nchunks = -(-num_candidates // C)
+    pad_total = nchunks * C
+
+    def one_chunk(c):
+        idxs = c * C + jnp.arange(C)
+        dists = make_chunk_dists(idxs)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
+        vals, ses = jax.vmap(
+            lambda k, dst: elbo_stats(k, logp, dst, ndraws)
+        )(keys, dists)
+        return vals, ses
+
+    vals, ses = jax.lax.map(one_chunk, jnp.arange(nchunks))
+    vals = vals.reshape(pad_total)[:num_candidates]
+    ses = ses.reshape(pad_total)[:num_candidates]
+    vals = jnp.where(valid_mask, vals, jnp.nan)
+    best, idx = findmax_skipnan(vals)
+    return idx, vals, ses, best
 
 
 def maximize_elbo(

@@ -40,6 +40,9 @@ __all__ = [
     "OptimizationTrace",
     "lbfgs_inverse_hessian",
     "lbfgs_inverse_hessians",
+    "lbfgs_history_aux",
+    "lbfgs_fits_at",
+    "LbfgsHistoryAux",
     "history_windows",
 ]
 
@@ -337,6 +340,84 @@ def history_windows(accept, history_length):
     return jnp.where(mask, idx, 0), mask
 
 
+class LbfgsHistoryAux(NamedTuple):
+    """Precomputed per-trajectory quantities from which the inverse-Hessian
+    at ANY point can be rebuilt by a gather — O(L·d) once, then O(J·d) per
+    point. The decomposition that makes chunked/lazy fit construction
+    possible (memory stays bounded for maxiters ≫ trajectory length)."""
+
+    s_steps: jax.Array  # (L, d)
+    y_steps: jax.Array  # (L, d) minimizer-view y
+    accept: jax.Array  # (L,) curvature-accepted flags
+    alphas: jax.Array  # (L+1, d) diag H₀ per point
+    acc_list: jax.Array  # (L+1,) step index of r-th accepted step
+    c_points: jax.Array  # (L+1,) #accepted among steps < point
+    point_mask: jax.Array  # (L+1,)
+    num_rejected: jax.Array  # ()
+
+
+def lbfgs_history_aux(
+    trace: OptimizationTrace,
+    epsilon_curvature: float = 1e-12,
+) -> LbfgsHistoryAux:
+    """Step differences, curvature acceptance, and the diag-H₀ recursion
+    (reference ``lbfgs_inverse_hessians`` preamble,
+    ``src/inverse_hessian.jl:25-66``)."""
+    xs, grads = trace.xs, trace.gradients
+    L = xs.shape[0] - 1
+    dtype = xs.dtype
+
+    s_steps = xs[1:] - xs[:-1]  # (L, d)
+    y_steps = grads[:-1] - grads[1:]  # ∇logp_l − ∇logp_{l+1} (minimizer y)
+    point_mask = trace.point_mask  # (L+1,)
+    step_valid = point_mask[1:]
+    curv = jnp.sum(y_steps * s_steps, axis=1)
+    accept = step_valid & (curv > epsilon_curvature * jnp.sum(y_steps**2, axis=1))
+    num_rejected = jnp.sum(step_valid & ~accept)
+
+    def alpha_step(alpha, inp):
+        s, y, acc = inp
+        new = gilbert_init(alpha, s, y)
+        alpha = jnp.where(acc, new, alpha)
+        return alpha, alpha
+
+    alpha0 = jnp.ones((xs.shape[1],), dtype)
+    _, alphas_tail = lax.scan(alpha_step, alpha0, (s_steps, y_steps, accept))
+    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (L+1, d)
+
+    acc_i = accept.astype(jnp.int32)
+    c = jnp.cumsum(acc_i)
+    c_points = jnp.concatenate([jnp.zeros((1,), c.dtype), c])
+    slots = jnp.where(accept, c - 1, L)
+    acc_list = jnp.zeros((L + 1,), jnp.int32).at[slots].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop"
+    )
+    return LbfgsHistoryAux(
+        s_steps=s_steps,
+        y_steps=y_steps,
+        accept=accept,
+        alphas=alphas,
+        acc_list=acc_list,
+        c_points=c_points,
+        point_mask=point_mask,
+        num_rejected=num_rejected,
+    )
+
+
+def lbfgs_fits_at(aux: LbfgsHistoryAux, points: jax.Array, history_length: int):
+    """Inverse-Hessian Woodbury factors at the given trajectory ``points``
+    (any subset, any order) — batched build via one ``vmap``."""
+    L = aux.s_steps.shape[0]
+    J = history_length
+    ranks = aux.c_points[points][:, None] - J + jnp.arange(J, dtype=jnp.int32)[None, :]
+    mask = ranks >= 0
+    idx = aux.acc_list[jnp.clip(ranks, 0, L)]
+    idx = jnp.where(mask, idx, 0)
+    S_w = aux.s_steps[idx]  # (C, J, d)
+    Y_w = aux.y_steps[idx]
+    return jax.vmap(lbfgs_inverse_hessian)(aux.alphas[points], S_w, Y_w, mask)
+
+
 def lbfgs_inverse_hessians(
     trace: OptimizationTrace,
     history_length: int = 6,
@@ -350,33 +431,7 @@ def lbfgs_inverse_hessians(
     updates. All L+1 factorizations are built by one ``vmap`` — on TPU the
     m×m cores batch onto the MXU instead of running sequentially.
     """
-    xs, grads = trace.xs, trace.gradients
-    L = xs.shape[0] - 1
-    dtype = xs.dtype
-    J = history_length
-
-    s_steps = xs[1:] - xs[:-1]  # (L, d)
-    y_steps = grads[:-1] - grads[1:]  # ∇logp_l − ∇logp_{l+1} (minimizer y)
-    point_mask = trace.point_mask  # (L+1,)
-    step_valid = point_mask[1:]
-    curv = jnp.sum(y_steps * s_steps, axis=1)
-    accept = step_valid & (curv > epsilon_curvature * jnp.sum(y_steps**2, axis=1))
-    num_rejected = jnp.sum(step_valid & ~accept)
-
-    # alpha recursion (diag H₀ refresh per accepted update)
-    def alpha_step(alpha, inp):
-        s, y, acc = inp
-        new = gilbert_init(alpha, s, y)
-        alpha = jnp.where(acc, new, alpha)
-        return alpha, alpha
-
-    alpha0 = jnp.ones((xs.shape[1],), dtype)
-    _, alphas_tail = lax.scan(alpha_step, alpha0, (s_steps, y_steps, accept))
-    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (L+1, d)
-
-    idx, mask = history_windows(accept, J)  # (L+1, J)
-    S_w = s_steps[idx]  # (L+1, J, d)
-    Y_w = y_steps[idx]
-
-    fits = jax.vmap(lbfgs_inverse_hessian)(alphas, S_w, Y_w, mask)
-    return fits, point_mask, num_rejected
+    aux = lbfgs_history_aux(trace, epsilon_curvature)
+    L = trace.xs.shape[0] - 1
+    fits = lbfgs_fits_at(aux, jnp.arange(L + 1), history_length)
+    return fits, aux.point_mask, aux.num_rejected

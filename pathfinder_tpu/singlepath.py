@@ -8,6 +8,15 @@ execution model is TPU-native: one jitted fixed-shape core per
 prescribes). All randomness comes from a single ``jax.random`` key, with
 per-(try, purpose) ``fold_in`` folding replicating the reference's
 determinism contract (``src/multipath.jl:162``, ``src/elbo.jl:2-5``).
+
+Memory model: the jitted core carries only the trajectory trace and compact
+per-candidate ELBO statistics — candidate fits are materialized
+``elbo_chunk`` at a time inside a ``lax.map`` and the winner is rebuilt once
+(O(chunk·d·m) live memory instead of O(maxiters·d·m)). The reference's fully
+materialized per-point ``fit_distributions`` / per-candidate ELBO draws
+(``PathfinderResult`` fields, ``src/singlepath.jl:53-70``) are exposed as
+*lazy properties* that rebuild deterministically from the trace and replay
+the exact draws from the same fold_in keys.
 """
 
 from __future__ import annotations
@@ -21,9 +30,15 @@ import jax
 import jax.numpy as jnp
 
 from pathfinder_tpu.models.protocol import LogDensity, as_log_density
-from pathfinder_tpu.ops.elbo import ELBOEstimate, maximize_elbo
+from pathfinder_tpu.ops.elbo import (
+    ELBOEstimate,
+    elbo_and_samples,
+    maximize_elbo_chunked,
+)
 from pathfinder_tpu.ops.lbfgs import (
     OptimizationTrace,
+    lbfgs_fits_at,
+    lbfgs_history_aux,
     lbfgs_inverse_hessians,
     minimize_lbfgs_trace,
 )
@@ -54,6 +69,7 @@ class PathfinderConfig(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     fail_on_nonfinite: bool = True
+    elbo_chunk: int = 64  # candidates materialized at once (memory bound)
 
 
 class SinglePathState(NamedTuple):
@@ -61,22 +77,26 @@ class SinglePathState(NamedTuple):
     it can flow through ``vmap``/``shard_map`` in multipath unchanged."""
 
     success: jax.Array  # () bool
+    key: jax.Array  # the per-try PRNG key (replays all randomness)
     trace: OptimizationTrace
-    fit_distributions: MvNormal  # batched (maxiters+1, ...)
     point_mask: jax.Array  # (maxiters+1,)
     fit_iteration: jax.Array  # () int, 1-based trajectory iteration
-    elbo_estimates: ELBOEstimate  # batched (maxiters,)
-    elbo_value: jax.Array  # () best ELBO
+    elbo_values: jax.Array  # (maxiters,) per-candidate ELBO (NaN = invalid)
+    elbo_se: jax.Array  # (maxiters,)
+    fit_distribution: MvNormal  # the ELBO winner
     num_bfgs_updates_rejected: jax.Array  # ()
     draws: jax.Array  # (d, ndraws)
-    fit_mean: jax.Array  # (d,) μ of the chosen fit
     num_fn_evals: jax.Array  # ()
 
-    @property
-    def fit_distribution(self) -> MvNormal:
-        return jax.tree_util.tree_map(
-            lambda leaf: leaf[self.fit_iteration], self.fit_distributions
-        )
+
+def _candidate_dists(trace, aux, points, history_length):
+    """Fits + means at the given trajectory points (μ = θ + Σ∇logp,
+    ``src/mvnormal.jl:17``)."""
+    fits = lbfgs_fits_at(aux, points, history_length)
+    mus = jax.vmap(lambda c, g, x: x + c.mul(g))(
+        fits, trace.gradients[points], trace.xs[points]
+    )
+    return MvNormal(mus, fits)
 
 
 @partial(jax.jit, static_argnames=("target", "config"))
@@ -86,8 +106,9 @@ def pathfinder_core(
     """One Pathfinder attempt (parity: ``_pathfinder``,
     ``src/singlepath.jl:285-325``), fully jitted and fixed-shape.
 
-    Pipeline: L-BFGS trajectory (``lax.while_loop``) → batched
-    inverse-Hessian fits → batched ELBO with NaN-skip argmax → draws.
+    Pipeline: L-BFGS trajectory (``lax.while_loop``) → chunked batched
+    inverse-Hessian fits + ELBO with NaN-skip argmax → winner rebuild +
+    draws.
     """
     cfg = config
     key_elbo, key_extra = jax.random.split(key)
@@ -104,33 +125,37 @@ def pathfinder_core(
         c2=cfg.c2,
         fail_on_nonfinite=cfg.fail_on_nonfinite,
     )
-
-    covs, point_mask, nrej = lbfgs_inverse_hessians(
-        trace, history_length=cfg.history_length,
-        epsilon_curvature=cfg.epsilon_curvature,
-    )
-    # μ_l = θ_l + Σ_l ∇logp(θ_l)  (src/mvnormal.jl:17)
-    mus = jax.vmap(lambda c, g, x: x + c.mul(g))(covs, trace.gradients, trace.xs)
-    fit_distributions = MvNormal(mus, covs)
+    aux = lbfgs_history_aux(trace, cfg.epsilon_curvature)
+    L = cfg.maxiters
 
     # candidates are iterations 1..L (skip the initial point,
-    # src/singlepath.jl:306-308)
-    candidates = jax.tree_util.tree_map(lambda leaf: leaf[1:], fit_distributions)
-    cand_valid = point_mask[1:]
-    best_idx, ests, best_elbo = maximize_elbo(
-        key_elbo, target.logp, candidates, cfg.ndraws_elbo, cand_valid
+    # src/singlepath.jl:306-308); fits materialized elbo_chunk at a time
+    def make_chunk_dists(cand_idxs):
+        points = jnp.clip(cand_idxs + 1, 0, L)
+        return _candidate_dists(trace, aux, points, cfg.history_length)
+
+    cand_valid = aux.point_mask[1:]
+    best_idx, elbo_values, elbo_se, best_elbo = maximize_elbo_chunked(
+        key_elbo,
+        target.logp,
+        make_chunk_dists,
+        num_candidates=L,
+        chunk_size=min(cfg.elbo_chunk, L),
+        ndraws=cfg.ndraws_elbo,
+        valid_mask=cand_valid,
     )
 
-    L = trace.num_valid - 1
-    success = (L > 0) & ~jnp.isnan(best_elbo) & (best_elbo != -jnp.inf)
+    n_valid = trace.num_valid - 1
+    success = (n_valid > 0) & ~jnp.isnan(best_elbo) & (best_elbo != -jnp.inf)
     fit_iteration = best_idx + 1  # trajectory iteration of the winner
 
-    # draws: reuse the winning ELBO draws, topping up / truncating to ndraws
-    # (src/singlepath.jl:227-233); on failure draw fresh from the chosen fit.
+    # rebuild the winner once and replay its ELBO draws from the same key
+    # (src/singlepath.jl:227-233: reuse winning draws, top up / truncate)
     fit_dist = jax.tree_util.tree_map(
-        lambda leaf: leaf[fit_iteration], fit_distributions
+        lambda leaf: leaf[0], make_chunk_dists(best_idx[None])
     )
-    winner_draws = jax.tree_util.tree_map(lambda leaf: leaf[best_idx], ests).draws
+    key_winner = jax.random.fold_in(key_elbo, best_idx)
+    winner_draws, _ = fit_dist.rand_and_logpdf(key_winner, cfg.ndraws_elbo)
     if cfg.ndraws <= cfg.ndraws_elbo:
         reused = winner_draws[:, : cfg.ndraws]
     else:
@@ -141,15 +166,15 @@ def pathfinder_core(
 
     return SinglePathState(
         success=success,
+        key=key,
         trace=trace,
-        fit_distributions=fit_distributions,
-        point_mask=point_mask,
+        point_mask=aux.point_mask,
         fit_iteration=fit_iteration,
-        elbo_estimates=ests,
-        elbo_value=best_elbo,
-        num_bfgs_updates_rejected=nrej,
+        elbo_values=elbo_values,
+        elbo_se=elbo_se,
+        fit_distribution=fit_dist,
+        num_bfgs_updates_rejected=aux.num_rejected,
         draws=draws,
-        fit_mean=fit_dist.mean,
         num_fn_evals=trace.num_fn_evals,
     )
 
@@ -171,9 +196,14 @@ def uniform_init_sampler(scale: float = 2.0) -> Callable:
 @dataclasses.dataclass
 class PathfinderResult:
     """Single-path result (parity: ``PathfinderResult``,
-    ``src/singlepath.jl:53-70``). ``optim_trace`` / ``fit_distributions`` /
-    ``elbo_estimates`` are fixed-shape with validity masks; use
-    ``optim_trace.num_valid`` for the trajectory length."""
+    ``src/singlepath.jl:53-70``).
+
+    ``optim_trace`` is fixed-shape with a validity count. The reference's
+    ``fit_distributions`` (a normal per trajectory point) and
+    ``elbo_estimates`` (per-candidate estimates *including draws*) are lazy
+    properties: they rebuild from the trace and replay the exact per-
+    candidate draws from the stored key — bit-identical to what the core
+    used, without retaining O(maxiters·d·ndraws) memory."""
 
     input: Any
     config: PathfinderConfig
@@ -186,20 +216,53 @@ class PathfinderResult:
     fit_iteration: int
     num_tries: int
     optim_trace: OptimizationTrace
-    fit_distributions: MvNormal  # batched over trajectory points
-    elbo_estimates: ELBOEstimate  # batched over iterations 1..maxiters
+    elbo_values: jax.Array  # (maxiters,)
+    elbo_se: jax.Array  # (maxiters,)
     num_bfgs_updates_rejected: int
     success: bool
     num_fn_evals: int
     state: SinglePathState = None
 
+    @property
+    def fit_distributions(self) -> MvNormal:
+        """Batched MvNormal over trajectory points 0..maxiters (parity:
+        ``PathfinderResult.fit_distributions``), rebuilt on demand."""
+        cfg = self.config
+        fits, mask, _ = lbfgs_inverse_hessians(
+            self.optim_trace,
+            history_length=cfg.history_length,
+            epsilon_curvature=cfg.epsilon_curvature,
+        )
+        mus = jax.vmap(lambda c, g, x: x + c.mul(g))(
+            fits, self.optim_trace.gradients, self.optim_trace.xs
+        )
+        return MvNormal(mus, fits)
+
+    @property
+    def elbo_estimates(self) -> ELBOEstimate:
+        """Per-candidate ELBO estimates with draws, replayed exactly
+        (parity: ``PathfinderResult.elbo_estimates``)."""
+        key_elbo, _ = jax.random.split(self.state.key)
+        dists = jax.tree_util.tree_map(
+            lambda leaf: leaf[1:], self.fit_distributions
+        )
+        L = self.config.maxiters
+        keys = jax.vmap(lambda i: jax.random.fold_in(key_elbo, i))(
+            jnp.arange(L)
+        )
+        return jax.vmap(
+            lambda k, dst: elbo_and_samples(
+                k, self.logp, dst, self.config.ndraws_elbo
+            )
+        )(keys, dists)
+
     def __repr__(self):
         n = int(self.optim_trace.num_valid) - 1
-        ev = self.elbo_estimates
         try:
+            i = self.fit_iteration - 1
             elbo_s = (
-                f"{float(ev.value[self.fit_iteration - 1]):.2f} ± "
-                f"{float(ev.std_err[self.fit_iteration - 1]):.2f}"
+                f"{float(self.elbo_values[i]):.2f} ± "
+                f"{float(self.elbo_se[i]):.2f}"
             )
         except Exception:
             elbo_s = "n/a"
@@ -232,7 +295,7 @@ def pathfinder(
     progress: bool = False,
     **config_overrides,
 ) -> PathfinderResult:
-    """Find the ELBO-best multivariate-normal approximation along an L-BFGS
+    """Find the ELBO-best multivariate normal approximation along an L-BFGS
     trajectory (parity: ``pathfinder``, ``src/singlepath.jl:85-257``).
 
     ``fn`` may be a callable ``logp(x)``, a :class:`LogDensity`, or any
@@ -310,25 +373,20 @@ def pathfinder(
             "rejected to keep it positive definite."
         )
 
-    fit_iteration = int(state.fit_iteration)
-    fit_distribution = jax.tree_util.tree_map(
-        lambda leaf: leaf[fit_iteration], state.fit_distributions
-    )
-
     return PathfinderResult(
         input=fn,
         config=config,
         key=key,
         logp=target.logp,
-        fit_distribution=fit_distribution,
+        fit_distribution=state.fit_distribution,
         draws=state.draws,
-        fit_distribution_transformed=fit_distribution,
+        fit_distribution_transformed=state.fit_distribution,
         draws_transformed=state.draws,
-        fit_iteration=fit_iteration,
+        fit_iteration=int(state.fit_iteration),
         num_tries=itry,
         optim_trace=state.trace,
-        fit_distributions=state.fit_distributions,
-        elbo_estimates=state.elbo_estimates,
+        elbo_values=state.elbo_values,
+        elbo_se=state.elbo_se,
         num_bfgs_updates_rejected=nrej,
         success=success,
         num_fn_evals=int(state.num_fn_evals),

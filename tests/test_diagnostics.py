@@ -1,0 +1,57 @@
+"""ESS / R-hat diagnostics tests against known ground truth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.utils.diagnostics import ess_bulk, split_rhat, summarize
+
+
+def test_rhat_iid_chains_near_one():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 2000, 3))
+    r = np.asarray(split_rhat(jnp.asarray(x)))
+    assert np.all(r < 1.02)
+
+
+def test_rhat_detects_disagreement():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 1000, 2))
+    x[0, :, 0] += 3.0  # one chain shifted in dim 0
+    r = np.asarray(split_rhat(jnp.asarray(x)))
+    assert r[0] > 1.5
+    assert r[1] < 1.05
+
+
+def test_ess_iid_near_total():
+    rng = np.random.default_rng(2)
+    C, N = 4, 4000
+    x = rng.standard_normal((C, N, 2))
+    ess = np.asarray(ess_bulk(jnp.asarray(x)))
+    total = C * N
+    assert np.all(ess > 0.75 * total)
+    assert np.all(ess < 1.35 * total)
+
+
+def test_ess_ar1_matches_theory():
+    """AR(1) with coefficient φ has ESS/N = (1−φ)/(1+φ)."""
+    rng = np.random.default_rng(3)
+    phi = 0.7
+    C, N = 4, 20000
+    eps = rng.standard_normal((C, N + 500))
+    x = np.zeros_like(eps)
+    for t in range(1, eps.shape[1]):
+        x[:, t] = phi * x[:, t - 1] + eps[:, t] * np.sqrt(1 - phi**2)
+    x = x[:, 500:][:, :, None]
+    ess = float(np.asarray(ess_bulk(jnp.asarray(x)))[0])
+    expected = C * N * (1 - phi) / (1 + phi)
+    assert abs(ess - expected) / expected < 0.25, (ess, expected)
+
+
+def test_summarize_shapes():
+    rng = np.random.default_rng(4)
+    s = summarize(jnp.asarray(rng.standard_normal((2, 500, 3))))
+    assert s["mean"].shape == (3,)
+    assert s["rhat"].shape == (3,)
+    s1 = summarize(jnp.asarray(rng.standard_normal((500, 3))))
+    assert s1["ess_bulk"].shape == (3,)

@@ -98,7 +98,9 @@ def test_draw_topup_and_truncation():
             lambda leaf: leaf[res.fit_iteration - 1], res.elbo_estimates
         ).draws
     )
-    np.testing.assert_array_equal(np.asarray(res.draws[:, :5]), winner)
+    # replayed draws match the reused ELBO draws (up to 1-ulp compilation
+    # reassociation between the chunked core and the batched property)
+    np.testing.assert_allclose(np.asarray(res.draws[:, :5]), winner, rtol=1e-12)
     # ndraws < ndraws_elbo: truncate
     res2 = pathfinder(target, key=jax.random.key(5), ndraws_elbo=10, ndraws=4, maxiters=30)
     assert res2.draws.shape == (3, 4)
@@ -107,7 +109,7 @@ def test_draw_topup_and_truncation():
             lambda leaf: leaf[res2.fit_iteration - 1], res2.elbo_estimates
         ).draws
     )
-    np.testing.assert_array_equal(np.asarray(res2.draws), winner2[:, :4])
+    np.testing.assert_allclose(np.asarray(res2.draws), winner2[:, :4], rtol=1e-12)
 
 
 def test_explicit_init_used():
