@@ -4,6 +4,7 @@ from pathfinder_tpu.integrations.hmc import (
     hmc_warm_start,
     leapfrog,
 )
+from pathfinder_tpu.integrations.nuts import NUTSResult, nuts, nuts_warm_start
 from pathfinder_tpu.integrations.transforms import (
     Exp,
     Identity,
@@ -17,6 +18,9 @@ __all__ = [
     "leapfrog",
     "hmc",
     "hmc_warm_start",
+    "nuts",
+    "nuts_warm_start",
+    "NUTSResult",
     "Identity",
     "Exp",
     "Interval",

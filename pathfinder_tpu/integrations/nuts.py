@@ -1,0 +1,402 @@
+"""Dynamic NUTS with the low-rank Woodbury metric, fully ``lax``-native.
+
+Multinomial No-U-Turn sampler (Hoffman & Gelman 2014 termination; Betancourt
+2017 multinomial state sampling) implemented **iteratively** — no recursion,
+fixed ``max_depth`` — so the whole transition jits and vmaps:
+
+* subtrees are built leaf-by-leaf inside a ``while_loop`` with a checkpoint
+  stack of size ``max_depth``: an aligned block of size 2^k ending at leaf
+  ``n`` (binary: k trailing ones) is U-turn-checked against the checkpoint
+  stored when its start leaf ``a = n − 2^k + 1`` was visited; block starts
+  live at stack index ``popcount(a)``. This reproduces the recursive
+  algorithm's complete set of sub-tree checks with O(max_depth) memory.
+* tree doubling is the outer ``while_loop``; a subtree that turns/diverges
+  is discarded whole (edges not advanced), matching the recursive semantics.
+* the U-turn criterion is the generalized one: ``ρ·M⁻¹p_start ≤ 0`` or
+  ``ρ·M⁻¹p_end ≤ 0`` with ρ the block momentum sum — all metric products in
+  O(d·m) low-rank form via :class:`WoodburyMetric`.
+
+This supplies the reference's "initialize NUTS from Pathfinder" use case
+(``docs/src/examples/initializing-hmc.md``; the reference delegates the
+sampler to AdvancedHMC/DynamicHMC — here it is in-repo) with dual-averaging
+step-size warmup.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pathfinder_tpu.integrations.hmc import WoodburyMetric
+
+__all__ = ["nuts", "nuts_warm_start", "NUTSResult"]
+
+_MAX_DELTA_H = 1000.0  # divergence threshold (Stan's default)
+
+
+class _Point(NamedTuple):
+    x: jax.Array
+    p: jax.Array
+    g: jax.Array  # ∇logp(x)
+    logp: jax.Array
+
+
+def _leapfrog1(vg, metric, pt: _Point, eps):
+    p_half = pt.p + 0.5 * eps * pt.g
+    x_new = pt.x + eps * metric.grad_kinetic(p_half)
+    logp_new, g_new = vg(x_new)
+    p_new = p_half + 0.5 * eps * g_new
+    return _Point(x_new, p_new, g_new, logp_new)
+
+
+def _energy(metric, pt: _Point):
+    return pt.logp - metric.kinetic_energy(pt.p)
+
+
+def _popcount(n):
+    return jax.lax.population_count(n.astype(jnp.uint32)).astype(jnp.int32)
+
+
+def _uturn(metric, rho, p_start, p_end):
+    return (jnp.vdot(rho, metric.grad_kinetic(p_start)) <= 0) | (
+        jnp.vdot(rho, metric.grad_kinetic(p_end)) <= 0
+    )
+
+
+class _SubtreeState(NamedTuple):
+    leaf: jax.Array  # next leaf index within the subtree
+    edge: _Point  # current integration edge (frame-adjusted)
+    rho: jax.Array  # subtree momentum sum (true frame)
+    p_first: jax.Array  # momentum of first leaf (true frame)
+    prop_x: jax.Array
+    prop_g: jax.Array
+    prop_logp: jax.Array
+    log_sum_w: jax.Array
+    accept_sum: jax.Array
+    n_leaves: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+    p_ckpt: jax.Array  # (max_depth+1, d) momentum checkpoints (true frame)
+    rho_ckpt: jax.Array  # (max_depth+1, d) rho-prefix checkpoints
+
+
+def _build_subtree(
+    key, vg, metric, edge: _Point, sign, n_steps, eps, h0, max_depth
+):
+    """Integrate ``n_steps`` leaves from ``edge`` in direction ``sign``,
+    with complete aligned-block U-turn checks. All momenta reported in the
+    true (trajectory-time) frame."""
+    d = edge.x.shape[0]
+    dtype = edge.x.dtype
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    # integrate in a flipped frame so the integrator always steps +eps
+    edge_f = edge._replace(p=sign * edge.p)
+
+    init = _SubtreeState(
+        leaf=jnp.asarray(0, jnp.int32),
+        edge=edge_f,
+        rho=jnp.zeros((d,), dtype),
+        p_first=jnp.zeros((d,), dtype),
+        prop_x=edge.x,
+        prop_g=edge.g,
+        prop_logp=edge.logp,
+        log_sum_w=neg_inf,
+        accept_sum=jnp.zeros((), dtype),
+        n_leaves=jnp.asarray(0, jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        p_ckpt=jnp.zeros((max_depth + 1, d), dtype),
+        rho_ckpt=jnp.zeros((max_depth + 1, d), dtype),
+    )
+
+    def cond(s: _SubtreeState):
+        return (s.leaf < n_steps) & ~s.turning & ~s.diverging
+
+    def body(s: _SubtreeState):
+        n = s.leaf
+        new_f = _leapfrog1(vg, metric, s.edge, eps)
+        p_true = sign * new_f.p
+        h = _energy(metric, new_f._replace(p=p_true))
+        delta = h - h0
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        diverging = delta < -_MAX_DELTA_H
+
+        # multinomial proposal update within the subtree
+        log_w = delta
+        log_sum_new = jnp.logaddexp(s.log_sum_w, log_w)
+        take = jnp.log(
+            jax.random.uniform(jax.random.fold_in(key, n), dtype=dtype)
+        ) < (log_w - log_sum_new)
+        prop_x = jnp.where(take, new_f.x, s.prop_x)
+        prop_g = jnp.where(take, new_f.g, s.prop_g)
+        prop_logp = jnp.where(take, new_f.logp, s.prop_logp)
+
+        accept_sum = s.accept_sum + jnp.minimum(1.0, jnp.exp(delta))
+
+        rho_new = s.rho + p_true
+        p_first = jnp.where(n == 0, p_true, s.p_first)
+
+        # checkpoint store at even leaves: stack idx = popcount(n)
+        is_even = (n % 2) == 0
+        ck_idx = _popcount(n)
+        p_ckpt = jnp.where(
+            is_even, s.p_ckpt.at[ck_idx].set(p_true), s.p_ckpt
+        )
+        rho_ckpt = jnp.where(
+            is_even, s.rho_ckpt.at[ck_idx].set(s.rho), s.rho_ckpt
+        )
+
+        # U-turn checks at odd leaves over trailing-ones aligned blocks:
+        # block k has start a = n+1-2^k, checkpoint idx popcount(a),
+        # running from idx_max = popcount(n >> 1) down to idx_min.
+        idx_max = _popcount(n >> 1)
+        trailing_ones = jax.lax.while_loop(
+            lambda tc: (tc[0] & 1) == 1,
+            lambda tc: (tc[0] >> 1, tc[1] + 1),
+            (n, jnp.asarray(0, jnp.int32)),
+        )[1]
+        idx_min = idx_max - trailing_ones + 1
+
+        def check_block(i, turning):
+            active = (i >= idx_min) & (i <= idx_max) & ((n % 2) == 1)
+            rho_block = rho_new - rho_ckpt[i]
+            t = _uturn(metric, rho_block, p_ckpt[i], p_true)
+            return turning | (active & t)
+
+        turning = jax.lax.fori_loop(
+            0, max_depth + 1, check_block, jnp.asarray(False)
+        )
+
+        return _SubtreeState(
+            leaf=n + 1,
+            edge=new_f,
+            rho=rho_new,
+            p_first=p_first,
+            prop_x=prop_x,
+            prop_g=prop_g,
+            prop_logp=prop_logp,
+            log_sum_w=log_sum_new,
+            accept_sum=accept_sum,
+            n_leaves=s.n_leaves + 1,
+            turning=turning,
+            diverging=diverging,
+            p_ckpt=p_ckpt,
+            rho_ckpt=rho_ckpt,
+        )
+
+    out = lax.while_loop(cond, body, init)
+    edge_true = out.edge._replace(p=sign * out.edge.p)
+    return out, edge_true
+
+
+class _TreeState(NamedTuple):
+    left: _Point
+    right: _Point
+    rho: jax.Array
+    prop_x: jax.Array
+    prop_g: jax.Array
+    prop_logp: jax.Array
+    log_sum_w: jax.Array
+    depth: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+    accept_sum: jax.Array
+    n_leaves: jax.Array
+
+
+def _nuts_transition(key, vg, metric, pt0: _Point, eps, max_depth):
+    dtype = pt0.x.dtype
+    h0 = _energy(metric, pt0)
+
+    tree = _TreeState(
+        left=pt0,
+        right=pt0,
+        rho=pt0.p,
+        prop_x=pt0.x,
+        prop_g=pt0.g,
+        prop_logp=pt0.logp,
+        log_sum_w=jnp.zeros((), dtype),  # initial point has weight exp(0)
+        depth=jnp.asarray(0, jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        accept_sum=jnp.zeros((), dtype),
+        n_leaves=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(t: _TreeState):
+        return (t.depth < max_depth) & ~t.turning & ~t.diverging
+
+    def body(t: _TreeState):
+        k_dir = jax.random.fold_in(jax.random.fold_in(key, 1), t.depth)
+        k_sub = jax.random.fold_in(jax.random.fold_in(key, 2), t.depth)
+        k_merge = jax.random.fold_in(jax.random.fold_in(key, 3), t.depth)
+        go_right = jax.random.bernoulli(k_dir)
+        sign = jnp.where(go_right, 1.0, -1.0).astype(dtype)
+        edge = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(go_right, a, b), t.right, t.left
+        )
+        n_steps = jnp.left_shift(jnp.asarray(1, jnp.int32), t.depth)
+        sub, new_edge = _build_subtree(
+            k_sub, vg, metric, edge, sign, n_steps, eps, h0, max_depth
+        )
+
+        ok = ~sub.turning & ~sub.diverging
+        # biased progressive merge (Betancourt 2017)
+        take = jnp.log(jax.random.uniform(k_merge, dtype=dtype)) < (
+            sub.log_sum_w - t.log_sum_w
+        )
+        take = take & ok
+        prop_x = jnp.where(take, sub.prop_x, t.prop_x)
+        prop_g = jnp.where(take, sub.prop_g, t.prop_g)
+        prop_logp = jnp.where(take, sub.prop_logp, t.prop_logp)
+        log_sum_w = jnp.where(
+            ok, jnp.logaddexp(t.log_sum_w, sub.log_sum_w), t.log_sum_w
+        )
+
+        left = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(ok & ~go_right, new, old), t.left, new_edge
+        )
+        right = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(ok & go_right, new, old), t.right, new_edge
+        )
+        rho = jnp.where(ok, t.rho + sub.rho, t.rho)
+        full_turn = ok & _uturn(metric, rho, left.p, right.p)
+
+        return _TreeState(
+            left=left,
+            right=right,
+            rho=rho,
+            prop_x=prop_x,
+            prop_g=prop_g,
+            prop_logp=prop_logp,
+            log_sum_w=log_sum_w,
+            depth=t.depth + 1,
+            turning=sub.turning | full_turn,
+            diverging=sub.diverging,
+            accept_sum=t.accept_sum + sub.accept_sum,
+            n_leaves=t.n_leaves + sub.n_leaves,
+        )
+
+    out = lax.while_loop(cond, body, tree)
+    accept_stat = out.accept_sum / jnp.maximum(out.n_leaves, 1)
+    return out.prop_x, out.prop_logp, out.prop_g, accept_stat, out
+
+
+class NUTSResult(NamedTuple):
+    samples: jax.Array  # (num_samples, d)
+    log_densities: jax.Array  # (num_samples,)
+    accept_stat: jax.Array  # (num_samples,)
+    tree_depths: jax.Array  # (num_samples,)
+    diverging: jax.Array  # (num_samples,) bool
+    step_size: jax.Array  # ()
+
+
+@partial(
+    jax.jit,
+    static_argnames=("value_and_grad", "num_samples", "num_warmup", "max_depth"),
+)
+def nuts(
+    key: jax.Array,
+    value_and_grad: Callable,
+    metric: WoodburyMetric,
+    x0: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    max_depth: int = 10,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+) -> NUTSResult:
+    """Run one NUTS chain (``vmap`` for several). Dual-averaging step-size
+    warmup; the metric stays fixed (it comes from the Pathfinder fit)."""
+    dtype = x0.dtype
+    logp0, g0 = value_and_grad(x0)
+
+    mu = jnp.log(10.0 * init_step_size)
+    da0 = (
+        jnp.asarray(jnp.log(init_step_size), dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+    )
+
+    def step(carry, inp):
+        x, logp, g, da, t_warm = carry
+        k = inp
+        k_mom = jax.random.fold_in(k, 0)
+        p = metric.sample_momentum(k_mom)
+        log_eps, log_eps_bar, h_acc = da
+        eps = jnp.exp(log_eps)
+        pt0 = _Point(x, p, g, logp)
+        x_n, logp_n, g_n, astat, tree = _nuts_transition(
+            k, value_and_grad, metric, pt0, eps, max_depth
+        )
+        # dual averaging
+        t = t_warm + 1.0
+        kappa, gamma, t0c = 0.75, 0.05, 10.0
+        h_acc = (1.0 - 1.0 / (t + t0c)) * h_acc + (target_accept - astat) / (
+            t + t0c
+        )
+        log_eps = mu - jnp.sqrt(t) / gamma * h_acc
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (
+            (x_n, logp_n, g_n, (log_eps, log_eps_bar, h_acc), t),
+            (x_n, astat, logp_n, tree.depth, tree.diverging),
+        )
+
+    keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
+    carry = (x0, logp0, g0, da0, jnp.zeros((), dtype))
+    carry, _ = lax.scan(step, carry, keys_w)
+    x, logp, g, (log_eps, log_eps_bar, _), _ = carry
+    eps_final = jnp.exp(log_eps_bar)
+
+    def sample_step(carry, k):
+        x, logp, g = carry
+        p = metric.sample_momentum(jax.random.fold_in(k, 0))
+        pt0 = _Point(x, p, g, logp)
+        x_n, logp_n, g_n, astat, tree = _nuts_transition(
+            k, value_and_grad, metric, pt0, eps_final, max_depth
+        )
+        return (x_n, logp_n, g_n), (x_n, logp_n, astat, tree.depth, tree.diverging)
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 1), num_samples)
+    _, (xs, lps, astats, depths, divs) = lax.scan(sample_step, (x, logp, g), keys_s)
+    return NUTSResult(
+        samples=xs,
+        log_densities=lps,
+        accept_stat=astats,
+        tree_depths=depths,
+        diverging=divs,
+        step_size=eps_final,
+    )
+
+
+def nuts_warm_start(
+    key: jax.Array,
+    result,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    max_depth: int = 10,
+    draw_index: int = 0,
+    **kwargs,
+) -> NUTSResult:
+    """NUTS initialized from a Pathfinder result: position = a Pathfinder
+    draw, metric = the fit covariance (the reference's headline workflow)."""
+    vg = jax.value_and_grad(result.logp)
+    metric = WoodburyMetric.from_result(result)
+    x0 = result.draws[:, draw_index]
+    return nuts(
+        key,
+        vg,
+        metric,
+        x0,
+        num_samples=num_samples,
+        num_warmup=num_warmup,
+        max_depth=max_depth,
+        **kwargs,
+    )
