@@ -71,7 +71,6 @@ class _SubtreeState(NamedTuple):
     leaf: jax.Array  # next leaf index within the subtree
     edge: _Point  # current integration edge (frame-adjusted)
     rho: jax.Array  # subtree momentum sum (true frame)
-    p_first: jax.Array  # momentum of first leaf (true frame)
     prop_x: jax.Array
     prop_g: jax.Array
     prop_logp: jax.Array
@@ -101,7 +100,6 @@ def _build_subtree(
         leaf=jnp.asarray(0, jnp.int32),
         edge=edge_f,
         rho=jnp.zeros((d,), dtype),
-        p_first=jnp.zeros((d,), dtype),
         prop_x=edge.x,
         prop_g=edge.g,
         prop_logp=edge.logp,
@@ -139,7 +137,6 @@ def _build_subtree(
         accept_sum = s.accept_sum + jnp.minimum(1.0, jnp.exp(delta))
 
         rho_new = s.rho + p_true
-        p_first = jnp.where(n == 0, p_true, s.p_first)
 
         # checkpoint store at even leaves: stack idx = popcount(n)
         is_even = (n % 2) == 0
@@ -176,7 +173,6 @@ def _build_subtree(
             leaf=n + 1,
             edge=new_f,
             rho=rho_new,
-            p_first=p_first,
             prop_x=prop_x,
             prop_g=prop_g,
             prop_logp=prop_logp,

@@ -14,6 +14,7 @@ Pathfinder runs on ``logp_unconstrained(z) = logp(T(z)) + log|det J_T(z)|``;
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -134,8 +135,10 @@ class TransformedLogDensity:
     def __hash__(self):
         return hash((self.logp_constrained, self.bijector, self.dim))
 
-    @property
+    @functools.cached_property
     def unconstrained(self) -> LogDensity:
+        # cached: a fresh closure per access would defeat the jit cache of
+        # pathfinder_core (LogDensity hashes by its logp callable)
         b = self.bijector
         lp = self.logp_constrained
 

@@ -30,21 +30,25 @@ class LogDensity:
 
     def __post_init__(self):
         if self.value_and_grad is None:
+            object.__setattr__(self, "_vg_derived", True)
             object.__setattr__(
                 self, "value_and_grad", jax.value_and_grad(self.logp)
             )
+        else:
+            object.__setattr__(self, "_vg_derived", False)
 
-    # stable hash/eq by the underlying callables so jit caches persist
+    # hash/eq ignore a *derived* value_and_grad (it is a fresh closure per
+    # instance): two LogDensity objects over the same logp must be jit-cache
+    # equal, or every pathfinder() call recompiles the core.
+    def _key(self):
+        vg = None if self._vg_derived else self.value_and_grad
+        return (self.logp, self.dim, vg)
+
     def __hash__(self):
-        return hash((self.logp, self.dim, self.value_and_grad))
+        return hash(self._key())
 
     def __eq__(self, other):
-        return (
-            isinstance(other, LogDensity)
-            and self.logp is other.logp
-            and self.dim == other.dim
-            and self.value_and_grad is other.value_and_grad
-        )
+        return isinstance(other, LogDensity) and self._key() == other._key()
 
 
 def as_log_density(fn, dim=None, grad=None) -> LogDensity:

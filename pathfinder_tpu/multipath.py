@@ -219,11 +219,15 @@ def multipathfinder(
 
         reporter = ThrottledProgress(nruns, name="Multi-path Pathfinder")
 
-    # round 0 for all paths, then bounded retry rounds for failed lanes only
-    # (parity: per-path ntries, src/singlepath.jl:259-283)
+    # round 0 for all paths, then bounded retry rounds for the failed lanes
+    # only (parity: per-path ntries, src/singlepath.jl:259-283). Retry
+    # batches are compacted to the failed lanes, padded to a power of two so
+    # at most log2(K) retry shapes ever compile; keys depend only on
+    # (path id, round), so results are independent of batch layout.
     keys0 = path_keys(0)
     states = executor(keys0, path_inits(keys0, 0), target, config)
     num_tries = np.ones(K, dtype=np.int64)
+    retry_executor = make_path_executor(mesh=None)
     rounds = 1
     while rounds < ntries:
         failed = np.array(~states.success)  # writable host copy
@@ -234,12 +238,21 @@ def multipathfinder(
             )
         if not failed.any():
             break
-        keys_r = path_keys(rounds)
-        retry = executor(keys_r, path_inits(keys_r, rounds), target, config)
+        fidx = np.nonzero(failed)[0]
+        B = 1 << max(0, int(np.ceil(np.log2(len(fidx)))))
+        pad_idx = np.concatenate([fidx, np.full(B - len(fidx), fidx[0])])
+        sel = jnp.asarray(pad_idx)
+        keys_r = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(key, i), rounds)
+        )(sel)
+        x0s_r = jax.vmap(lambda k: sampler(jax.random.fold_in(k, 1), d, dtype))(
+            keys_r
+        )
+        retry = retry_executor(keys_r, x0s_r, target, config)
+        retry = jax.tree_util.tree_map(lambda leaf: leaf[: len(fidx)], retry)
 
         def merge(old, new):
-            f = jnp.asarray(failed).reshape((K,) + (1,) * (old.ndim - 1))
-            return jnp.where(f, new, old)
+            return old.at[jnp.asarray(fidx)].set(new)
 
         states = jax.tree_util.tree_map(merge, states, retry)
         num_tries[failed] += 1

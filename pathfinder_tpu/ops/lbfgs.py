@@ -84,7 +84,6 @@ class _LoopState(NamedTuple):
     Y: jax.Array  # (J, d) grad-diff history rows
     pos: jax.Array  # index of most recent history row
     hlen: jax.Array  # effective history length
-    step_prev: jax.Array
     nrej: jax.Array
     nev: jax.Array
     done: jax.Array
@@ -144,12 +143,16 @@ def minimize_lbfgs_trace(
     ``value_and_grad(x) -> (logp, ∇logp)``. Parity target:
     ``optimize_with_trace`` + default optimizer config
     (``src/optimize.jl:35-59``, ``src/Pathfinder.jl:29-35``): history length
-    ``J``, Wolfe line search, gradient-norm stopping, non-finite abort
-    (``fail_on_nonfinite``, ``src/optimize.jl:103-105``). Unlike the
-    reference, a non-finite point is *not* recorded in the trace: the
-    reference records it and its fit/ELBO become NaN, which the NaN-skipping
-    argmax then ignores (``src/utils.jl:51-72``) — dropping the point is
-    observationally equivalent and keeps downstream factors finite.
+    ``J``, Wolfe line search, gradient-norm stopping, non-finite handling
+    (``src/optimize.jl:103-105``). Unlike the reference, a non-finite point
+    is *never* recorded in the trace: non-finite trial values make the line
+    search backtrack (the same behavior Hager-Zhang gives the reference
+    whether or not its abort callback fires), and the trajectory ends when
+    no finite-progress step exists. Consequently ``fail_on_nonfinite`` is
+    accepted for keyword parity but has no separate False behavior — both
+    settings yield the truncated-finite-trajectory semantics, which the
+    NaN-skipping ELBO argmax (``src/utils.jl:51-72``) makes observationally
+    equivalent to the reference's record-then-abort.
     """
     d = x0.shape[0]
     dtype = x0.dtype
@@ -179,7 +182,6 @@ def minimize_lbfgs_trace(
         Y=jnp.zeros((J, d), dtype),
         pos=jnp.asarray(0),
         hlen=jnp.asarray(0),
-        step_prev=jnp.ones((), dtype),
         nrej=jnp.asarray(0),
         nev=jnp.asarray(1),
         done=~init_ok,
@@ -244,7 +246,6 @@ def minimize_lbfgs_trace(
             Y=Y,
             pos=pos,
             hlen=hlen,
-            step_prev=jnp.where(progress, ls.step_size, s.step_prev),
             nrej=nrej,
             nev=nev,
             done=done,
@@ -325,16 +326,29 @@ def history_windows(accept, history_length):
     Returns ``(idx (L+1, J), mask (L+1, J))``.
     """
     L = accept.shape[0]
-    J = history_length
-    acc = accept.astype(jnp.int32)
-    c = jnp.cumsum(acc)  # c[i] = #accepted among steps 0..i
+    acc_list, c_points = _accept_index(accept)
+    return _windows_at(
+        acc_list, c_points, jnp.arange(L + 1), history_length, L
+    )
+
+
+def _accept_index(accept):
+    """(acc_list, c_points): the r-th accepted step's index, and the number
+    of accepted steps strictly before each trajectory point."""
+    L = accept.shape[0]
+    c = jnp.cumsum(accept.astype(jnp.int32))  # accepted among steps 0..i
     c_points = jnp.concatenate([jnp.zeros((1,), c.dtype), c])  # (L+1,)
-    # acc_list[r] = step index of the (r+1)-th accepted step
     slots = jnp.where(accept, c - 1, L)  # scatter target (L = dropped)
     acc_list = jnp.zeros((L + 1,), jnp.int32).at[slots].set(
         jnp.arange(L, dtype=jnp.int32), mode="drop"
     )
-    ranks = c_points[:, None] - J + jnp.arange(J, dtype=c.dtype)[None, :]
+    return acc_list, c_points
+
+
+def _windows_at(acc_list, c_points, points, history_length, L):
+    """History-window step indices + mask for the given trajectory points."""
+    J = history_length
+    ranks = c_points[points][:, None] - J + jnp.arange(J, dtype=jnp.int32)[None, :]
     mask = ranks >= 0
     idx = acc_list[jnp.clip(ranks, 0, L)]
     return jnp.where(mask, idx, 0), mask
@@ -385,13 +399,7 @@ def lbfgs_history_aux(
     _, alphas_tail = lax.scan(alpha_step, alpha0, (s_steps, y_steps, accept))
     alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (L+1, d)
 
-    acc_i = accept.astype(jnp.int32)
-    c = jnp.cumsum(acc_i)
-    c_points = jnp.concatenate([jnp.zeros((1,), c.dtype), c])
-    slots = jnp.where(accept, c - 1, L)
-    acc_list = jnp.zeros((L + 1,), jnp.int32).at[slots].set(
-        jnp.arange(L, dtype=jnp.int32), mode="drop"
-    )
+    acc_list, c_points = _accept_index(accept)
     return LbfgsHistoryAux(
         s_steps=s_steps,
         y_steps=y_steps,
@@ -408,11 +416,7 @@ def lbfgs_fits_at(aux: LbfgsHistoryAux, points: jax.Array, history_length: int):
     """Inverse-Hessian Woodbury factors at the given trajectory ``points``
     (any subset, any order) — batched build via one ``vmap``."""
     L = aux.s_steps.shape[0]
-    J = history_length
-    ranks = aux.c_points[points][:, None] - J + jnp.arange(J, dtype=jnp.int32)[None, :]
-    mask = ranks >= 0
-    idx = aux.acc_list[jnp.clip(ranks, 0, L)]
-    idx = jnp.where(mask, idx, 0)
+    idx, mask = _windows_at(aux.acc_list, aux.c_points, points, history_length, L)
     S_w = aux.s_steps[idx]  # (C, J, d)
     Y_w = aux.y_steps[idx]
     return jax.vmap(lbfgs_inverse_hessian)(aux.alphas[points], S_w, Y_w, mask)

@@ -289,7 +289,6 @@ def minimize_lbfgs_trace_fused(
             lo_new_phi < s.f
         )
         finish = accept_now | exhausted
-        use_fallback = ~accept_now & exhausted & fallback_ok
         ls_failed = finish & ~accept_now & ~fallback_ok
 
         a_acc = jnp.where(accept_now, s.a_trial, lo_new_a)

@@ -1,17 +1,29 @@
-"""Sampling diagnostics: split-R̂ and bulk effective sample size.
+"""Sampling diagnostics: rank-normalized split-R̂ and bulk effective sample
+size.
 
-Standard definitions (Vehtari, Gelman, Simpson, Carpenter, Bürkner, 2021:
-*Rank-normalization, folding, and localization: An improved R̂*), implemented
-in pure JAX over ``(num_chains, num_samples, dim)`` sample stacks. The
-reference package has no sampler of its own and relies on downstream MCMC
-packages' diagnostics; since this framework ships an HMC sampler
-(``integrations/hmc.py``), it ships the matching diagnostics too.
+Definitions from Vehtari, Gelman, Simpson, Carpenter, Bürkner (2021):
+*Rank-normalization, folding, and localization: An improved R̂*, implemented
+in pure JAX over ``(num_chains, num_samples, dim)`` sample stacks:
+
+* samples are rank-normalized (ranks → normal quantiles with the (r−3/8)/
+  (S+1/4) rule) before both diagnostics, so heavy tails cannot mask
+  mixing failures;
+* ``split_rhat`` is the max of the rank-normalized split-R̂ and the folded
+  (median-absolute-deviation) split-R̂;
+* ``ess_bulk`` is the spectral ESS (FFT autocovariance + Geyer initial
+  monotone sequence) of the rank-normalized samples, with
+  ``var⁺ = mean-autocov₀ + var(chain means)``.
+
+The reference package has no sampler of its own and relies on downstream
+MCMC packages' diagnostics; since this framework ships HMC/NUTS samplers
+(``integrations/``), it ships the matching diagnostics too.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import ndtri
 
 __all__ = ["split_rhat", "ess_bulk", "summarize"]
 
@@ -24,20 +36,48 @@ def _split_chains(x):
     return x.reshape(C * 2, half, d)
 
 
-def split_rhat(samples: jax.Array) -> jax.Array:
-    """Split-R̂ per dimension for ``(chains, samples, dim)`` arrays."""
-    x = _split_chains(jnp.asarray(samples))
+def _rank_normalize(x):
+    """Rank-normalize over ALL entries of ``x`` (any shape), preserving
+    shape: rank r → Φ⁻¹((r − 3/8)/(S + 1/4))."""
+    shape = x.shape
+    flat = x.reshape(-1)
+    S = flat.shape[0]
+    order = jnp.argsort(flat)
+    ranks = (
+        jnp.zeros(S, x.dtype)
+        .at[order]
+        .set(jnp.arange(1, S + 1, dtype=x.dtype))
+    )
+    z = ndtri((ranks - 0.375) / (S + 0.25))
+    return z.reshape(shape)
+
+
+def _basic_split_rhat(x):
+    """Split-R̂ of (C, N, d) without any normalization."""
+    x = _split_chains(x)
     C, N, d = x.shape
-    chain_means = x.mean(axis=1)  # (C, d)
-    chain_vars = x.var(axis=1, ddof=1)  # (C, d)
+    chain_means = x.mean(axis=1)
+    chain_vars = x.var(axis=1, ddof=1)
     W = chain_vars.mean(axis=0)
     B = N * chain_means.var(axis=0, ddof=1)
     var_plus = (N - 1) / N * W + B / N
     return jnp.sqrt(var_plus / W)
 
 
+def split_rhat(samples: jax.Array) -> jax.Array:
+    """Rank-normalized split-R̂, max of bulk and folded variants, per
+    dimension for ``(chains, samples, dim)`` arrays."""
+    x = jnp.asarray(samples)
+    z = jax.vmap(_rank_normalize, in_axes=2, out_axes=2)(x)
+    med = jnp.median(x, axis=(0, 1))
+    zf = jax.vmap(_rank_normalize, in_axes=2, out_axes=2)(
+        jnp.abs(x - med[None, None, :])
+    )
+    return jnp.maximum(_basic_split_rhat(z), _basic_split_rhat(zf))
+
+
 def _autocov(x):
-    """Autocovariance per chain via FFT: x (C, N) -> (C, N)."""
+    """Autocovariance per chain via FFT: x (C, N) -> (C, N), biased (1/N)."""
     C, N = x.shape
     xc = x - x.mean(axis=1, keepdims=True)
     nfft = 2 * N
@@ -46,30 +86,34 @@ def _autocov(x):
     return acov / N
 
 
+def _ess_one(xd):
+    """Spectral ESS of one dimension's (C, N) chains (already normalized)."""
+    C, N = xd.shape
+    acov = _autocov(xd)
+    chain_var = acov[:, 0] * N / (N - 1)
+    W = chain_var.mean()
+    mean_acov = acov.mean(axis=0)
+    # var⁺ = (N−1)/N · W + B/N  =  mean_acov[0] + var(chain means)
+    var_plus = mean_acov[0] + xd.mean(axis=1).var(ddof=1)
+    rho = 1.0 - (W - mean_acov) / var_plus  # (N,)
+    npairs = N // 2
+    pair = rho[: 2 * npairs].reshape(npairs, 2).sum(axis=1)
+    pos = jnp.cumprod(pair > 0) > 0  # stop at first non-positive pair
+    pair_mon = jax.lax.associative_scan(jnp.minimum, pair)  # monotone cap
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(pos, pair_mon, 0.0))
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(N * C))))
+    return C * N / tau
+
+
 def ess_bulk(samples: jax.Array) -> jax.Array:
-    """Bulk ESS per dimension (Geyer initial monotone sequence over
-    chain-combined autocorrelations) for ``(chains, samples, dim)``."""
+    """Bulk ESS (rank-normalized spectral ESS on split chains) per dimension
+    for ``(chains, samples, dim)``."""
     x = _split_chains(jnp.asarray(samples))
-    C, N, d = x.shape
 
-    def one_dim(xd):  # (C, N)
-        acov = _autocov(xd)  # (C, N)
-        chain_var = acov[:, 0] * N / (N - 1)
-        W = chain_var.mean()
-        mean_acov = acov.mean(axis=0)
-        var_plus = mean_acov[0] * N / (N - 1) + xd.mean(axis=1).var(ddof=1)
-        rho = 1.0 - (W - mean_acov) / var_plus  # (N,)
-        # Geyer: sum over pairs while the pair sums stay positive & monotone
-        npairs = N // 2
-        pair = rho[: 2 * npairs].reshape(npairs, 2).sum(axis=1)
-        pos = pair > 0
-        pos = jnp.cumprod(pos) > 0  # stop at first non-positive pair
-        pair_mon = jax.lax.associative_scan(jnp.minimum, pair)  # monotone cap
-        tau = -1.0 + 2.0 * jnp.sum(jnp.where(pos, pair_mon, 0.0))
-        tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(N * C))))
-        return C * N / tau
+    def one(xd):  # (C, N)
+        return _ess_one(_rank_normalize(xd))
 
-    return jax.vmap(one_dim, in_axes=2)(x)
+    return jax.vmap(one, in_axes=2)(x)
 
 
 def summarize(samples: jax.Array) -> dict:

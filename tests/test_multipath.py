@@ -93,6 +93,23 @@ def test_mesh_padding_non_divisible():
     assert np.all(np.asarray(res.states.success))
 
 
+def test_multipath_retry_rounds():
+    """Failed lanes are retried in compacted batches until success."""
+
+    def logp(x):
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
+
+    res = multipathfinder(
+        logp, 100, dim=2, key=jax.random.key(12), nruns=6, init_scale=8.0,
+        ntries=400, maxiters=30,
+    )
+    nt = np.asarray(res.num_tries)
+    assert np.all(np.asarray(res.states.success))
+    assert nt.max() > 1  # at least one lane needed a retry round
+    assert np.all(np.isfinite(np.asarray(res.draws)))
+
+
 def test_more_draws_than_pool_warns():
     with pytest.warns(UserWarning, match="More draws requested"):
         run_multi(ndraws=100, nruns=2, ndraws_per_run=10)
