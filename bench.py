@@ -175,6 +175,14 @@ def run_all_configs():
 
 
 def main():
+    if "--profile" in sys.argv:
+        # tracing/profiling hook (SURVEY §5: new, not ported — the reference
+        # has no profiler integration)
+        with jax.profiler.trace("/tmp/pathfinder_tpu_trace"):
+            stats = run_bench(repeats=1)
+        _log("profiler trace written to /tmp/pathfinder_tpu_trace")
+        _log(str(stats))
+        return
     if "--all" in sys.argv:
         run_all_configs()
         return

@@ -22,6 +22,7 @@ from pathfinder_tpu.singlepath import (
     PathfinderResult,
     pathfinder,
 )
+from pathfinder_tpu.utils.diagnostics import ess_bulk, split_rhat, summarize
 
 __version__ = "0.1.0"
 
@@ -43,4 +44,7 @@ __all__ = [
     "psis",
     "paths_mesh",
     "make_path_executor",
+    "ess_bulk",
+    "split_rhat",
+    "summarize",
 ]

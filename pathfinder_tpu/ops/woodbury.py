@@ -373,6 +373,23 @@ class WoodburyPDMat:
         """``R⁻¹ x = L⁻ᵀ x`` (parity: ``PDMats.invunwhiten!``, ``src/woodbury.jl:417-422``)."""
         return self.factor.Lt_solve(x)
 
+    def astype(self, dtype) -> "WoodburyPDMat":
+        """Convert element type, refactorizing in the target precision
+        (parity: ``convert(WoodburyPDMat{T}, ...)``, ``src/woodbury.jl:
+        273-283``)."""
+        return WoodburyPDMat.from_parts(
+            self.A.astype(dtype), self.B.astype(dtype), self.D.astype(dtype)
+        )
+
+    def entry(self, i, j) -> jax.Array:
+        """Single element ``W[i, j]`` without densifying (parity:
+        ``getindex``, ``src/woodbury.jl:306-311``)."""
+        if self.A.ndim == 1:
+            a = jnp.where(i == j, self.A[i], 0.0)
+        else:
+            a = self.A[i, j]
+        return a + self.B[i] @ (self.D @ self.B[j])
+
     def scale(self, c) -> "WoodburyPDMat":
         """``W * c`` for positive scalar ``c``, keeping Woodbury form
         (parity: ``*``, ``src/woodbury.jl:357-360``; the reference densifies

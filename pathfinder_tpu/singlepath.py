@@ -70,6 +70,12 @@ class PathfinderConfig(NamedTuple):
     c2: float = 0.9
     fail_on_nonfinite: bool = True
     elbo_chunk: int = 64  # candidates materialized at once (memory bound)
+    # trajectory optimizer (the reference accepts any Optimization.jl
+    # optimizer, src/singlepath.jl:120-123; here the pluggable axis is the
+    # loop structure): "lbfgs" (nested line-search loops, fastest for cheap
+    # targets) or "lbfgs_eval_driven" (one batched eval per loop step,
+    # better when logp dominates — see ops/lbfgs_fused.py)
+    optimizer: str = "lbfgs"
 
 
 class SinglePathState(NamedTuple):
@@ -113,7 +119,16 @@ def pathfinder_core(
     cfg = config
     key_elbo, key_extra = jax.random.split(key)
 
-    trace = minimize_lbfgs_trace(
+    if cfg.optimizer == "lbfgs":
+        minimize = minimize_lbfgs_trace
+    elif cfg.optimizer == "lbfgs_eval_driven":
+        from pathfinder_tpu.ops.lbfgs_fused import minimize_lbfgs_trace_fused
+
+        minimize = minimize_lbfgs_trace_fused
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    trace = minimize(
         target.value_and_grad,
         x0,
         maxiters=cfg.maxiters,

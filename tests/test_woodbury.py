@@ -156,6 +156,22 @@ def test_woodbury_inv_and_scale():
     np.testing.assert_allclose((2.0 * W).to_dense(), 2.0 * W_dense, rtol=1e-10)
 
 
+def test_astype_and_entry():
+    rng = np.random.default_rng(31)
+    A, B, D, W_dense = rand_woodbury(rng, 6, 3, np.float64)
+    W = WoodburyPDMat.from_parts(A, B, D)
+    W32 = W.astype(jnp.float32)
+    assert W32.dtype == jnp.float32
+    np.testing.assert_allclose(W32.to_dense(), W_dense, rtol=1e-5)
+    for i, j in [(0, 0), (2, 4), (5, 1)]:
+        np.testing.assert_allclose(W.entry(i, j), W_dense[i, j], rtol=1e-12)
+    Ad = rand_pd_mat(rng, 6, np.float64)
+    Wd = WoodburyPDMat.from_parts(Ad, B, D)
+    np.testing.assert_allclose(
+        Wd.entry(1, 3), (Ad + B @ D @ B.T)[1, 3], rtol=1e-12
+    )
+
+
 def test_pdunfactorize_roundtrip():
     rng = np.random.default_rng(11)
     for diag_A in (True, False):
