@@ -58,7 +58,20 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
         draws, ids = resample_draws(
             jax.random.fold_in(key, 0x5E5A), draws_knd, psis_result, ndraws
         )
-        return draws, psis_result.pareto_shape, states.success, states.num_fn_evals
+        # ELBO-stage log-density evaluations: ndraws_elbo per valid
+        # candidate, plus the K*N importance-weighting evals (the
+        # "ELBO log-density evals/sec" metric of BASELINE.json)
+        n_elbo_evals = (
+            jnp.sum(states.trace.num_valid - 1) * config.ndraws_elbo
+            + draws_knd.shape[0] * draws_knd.shape[1]
+        )
+        return (
+            draws,
+            psis_result.pareto_shape,
+            states.success,
+            states.num_fn_evals,
+            n_elbo_evals,
+        )
 
     # compile (not timed: the reference's Julia session pays compilation too,
     # and the driver measures steady-state throughput)
@@ -75,7 +88,7 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     _log(f"times: {[round(t, 4) for t in times]}")
-    draws, khat, success, nevals = out
+    draws, khat, success, nevals, n_elbo = out
     elapsed = min(times)
     paths_per_sec = n_paths / elapsed
     return {
@@ -84,6 +97,7 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
         "khat": float(khat),
         "n_success": int(success.sum()),
         "logp_grad_evals": int(nevals.sum()),
+        "elbo_evals_per_sec": float(n_elbo) / elapsed,
         "finite_draws": bool(jnp.all(jnp.isfinite(draws))),
     }
 
@@ -198,6 +212,7 @@ def main():
         f"# details: elapsed={stats['elapsed_s']:.3f}s "
         f"success={stats['n_success']}/100 khat={stats['khat']:.2f} "
         f"logp+grad_evals={stats['logp_grad_evals']} "
+        f"elbo_evals_per_sec={stats['elbo_evals_per_sec']:.3g} "
         f"finite={stats['finite_draws']}",
         file=sys.stderr,
     )

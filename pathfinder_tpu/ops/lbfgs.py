@@ -137,8 +137,13 @@ def minimize_lbfgs_trace(
     c1: float = 1e-4,
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
+    progress_every: int = 0,
 ) -> OptimizationTrace:
     """Maximize ``logp`` with L-BFGS, recording the full trajectory.
+
+    ``progress_every > 0`` emits a host callback every that many iterations
+    (the per-iteration progress events of ``src/optimize.jl:91-92``; off by
+    default since host callbacks serialize the device stream).
 
     ``value_and_grad(x) -> (logp, ∇logp)``. Parity target:
     ``optimize_with_trace`` + default optimizer config
@@ -235,6 +240,17 @@ def minimize_lbfgs_trace(
 
         converged = jnp.max(jnp.abs(g_new)) <= gtol
         done = (~progress) | converged
+
+        if progress_every > 0:
+            def _report(it, fx):
+                print(f"  L-BFGS iter {int(it)}/{maxiters} logp={float(fx):.4g}")
+
+            jax.lax.cond(
+                (it_new % progress_every) == 0,
+                lambda args: jax.debug.callback(_report, *args),
+                lambda args: None,
+                (it_new, -f_new),
+            )
 
         return _LoopState(
             it=it_new,
