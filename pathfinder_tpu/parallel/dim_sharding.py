@@ -1,0 +1,71 @@
+"""Parameter-dimension sharding: scale Pathfinder to d too large for one chip.
+
+SURVEY §5 identifies the reference's scaling axes: it scales in ``d`` by
+keeping covariances in diag + low-rank form (never O(d²)); the TPU analog of
+"sequence parallelism" is sharding the ``d`` axis of θ, gradients, ``B``,
+and draws across a mesh. Every Woodbury operation is embarrassingly
+row-parallel except m-length reductions (``Xᵀx``, norms), which become
+single tiny ``psum``-style collectives.
+
+Implementation follows the scaling-book recipe: **annotate shardings, let
+XLA insert the collectives** — no hand-written communication. The helpers
+here construct the shardings; the existing `WoodburyPDMat` / `MvNormal` /
+`pathfinder_core` code runs unchanged under them, because everything is
+already expressed as row-wise elementwise ops + (d,m)ᵀ(d,·) contractions
+that GSPMD partitions cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["dim_mesh", "shard_dim", "dim_sharding_for"]
+
+DIM_AXIS = "dim"
+
+
+def dim_mesh(devices=None) -> Mesh:
+    """A 1-D mesh over the given (or all) devices with a ``dim`` axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DIM_AXIS,))
+
+
+def dim_sharding_for(mesh: Mesh, leaf) -> NamedSharding:
+    """Sharding that splits the leading (d) axis; replicates scalars and
+    arrays whose leading axis is not the parameter dimension (m×m cores)."""
+    if leaf.ndim == 0:
+        return NamedSharding(mesh, P())
+    spec = [None] * leaf.ndim
+    spec[0] = DIM_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_dim(tree, mesh: Mesh, dim: Optional[int] = None):
+    """Device-put a pytree with every leaf whose leading axis equals ``dim``
+    (default: the largest leading axis divisible by the mesh) sharded over
+    the ``dim`` axis, everything else replicated.
+
+    Typical use: shard ``x0``/``B``-like operands before a jitted Woodbury /
+    Pathfinder computation; XLA propagates the sharding through the whole
+    program and inserts the m-length reductions as collectives.
+    """
+    n_dev = mesh.devices.size
+
+    def place(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        is_dim = (
+            leaf.ndim >= 1
+            and (dim is None or leaf.shape[0] == dim)
+            and leaf.shape[0] % n_dev == 0
+            and leaf.shape[0] > 1
+        )
+        if is_dim:
+            return jax.device_put(leaf, dim_sharding_for(mesh, leaf))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, tree)

@@ -1,0 +1,98 @@
+"""Parameter-dimension (d-axis) sharding tests on the virtual CPU mesh.
+
+Validates SURVEY §5's "sequence-parallel analog": Woodbury operations and
+the full single-path Pathfinder core run correctly with θ/B/draws sharded
+over a ``dim`` mesh, with XLA inserting the m-length reduction collectives,
+and produce results identical to the unsharded run.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pathfinder_tpu.models import StandardNormal
+from pathfinder_tpu.ops.mvnormal import MvNormal
+from pathfinder_tpu.ops.woodbury import WoodburyPDMat
+from pathfinder_tpu.parallel.dim_sharding import dim_mesh, shard_dim
+from pathfinder_tpu.singlepath import PathfinderConfig, pathfinder_core
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return dim_mesh(jax.devices()[:8])
+
+
+def test_woodbury_ops_dim_sharded(mesh):
+    rng = np.random.default_rng(0)
+    d, m = 512, 8
+    A = rng.uniform(0.5, 2.0, d)
+    B = rng.standard_normal((d, m)) / np.sqrt(d)
+    D = np.eye(m) * 0.5
+    x = rng.standard_normal((d, 16))
+
+    @jax.jit
+    def compute(A, B, D, x):
+        W = WoodburyPDMat.from_parts(A, B, D)
+        return W.logdet(), W.solve(x), W.unwhiten(x), W.invquad(x)
+
+    ref = compute(jnp.asarray(A), jnp.asarray(B), jnp.asarray(D), jnp.asarray(x))
+    with mesh:
+        A_s, B_s, x_s = shard_dim((jnp.asarray(A), jnp.asarray(B), jnp.asarray(x)), mesh, dim=d)
+        out = compute(A_s, B_s, jnp.asarray(D), x_s)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-10)
+    # the solve output really is sharded over the dim axis
+    shard_shapes = [s.data.shape for s in out[1].addressable_shards]
+    assert all(ss[0] == d // 8 for ss in shard_shapes)
+
+
+def test_mvnormal_sampling_dim_sharded(mesh):
+    rng = np.random.default_rng(1)
+    d, m = 256, 4
+    A = jnp.asarray(rng.uniform(0.5, 2.0, d))
+    B = jnp.asarray(rng.standard_normal((d, m)) / np.sqrt(d))
+    D = jnp.eye(m)
+    mu = jnp.asarray(rng.standard_normal(d))
+
+    @jax.jit
+    def draw(A, B, D, mu, key):
+        dist = MvNormal(mu, WoodburyPDMat.from_parts(A, B, D))
+        return dist.rand_and_logpdf(key, 32)
+
+    key = jax.random.key(0)
+    x_ref, lq_ref = draw(A, B, D, mu, key)
+    with mesh:
+        A_s, B_s, mu_s = shard_dim((A, B, mu), mesh, dim=d)
+        x_s, lq_s = draw(A_s, B_s, D, mu_s, key)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lq_s), np.asarray(lq_ref), rtol=1e-12)
+
+
+def test_pathfinder_core_dim_sharded(mesh):
+    """The full jitted core runs with the parameter axis sharded and matches
+    the unsharded result."""
+    d = 256
+    target = StandardNormal(d)
+    config = PathfinderConfig(maxiters=16, history_length=4, ndraws_elbo=4, ndraws=8)
+    key = jax.random.key(3)
+    x0 = jnp.asarray(np.random.default_rng(2).uniform(-2, 2, d).astype(np.float64))
+
+    ref = pathfinder_core(key, x0, target, config)
+    with mesh:
+        x0_s = jax.device_put(
+            x0, NamedSharding(mesh, P("dim"))
+        )
+        out = pathfinder_core(key, x0_s, target, config)
+    assert bool(out.success) and bool(ref.success)
+    assert int(out.fit_iteration) == int(ref.fit_iteration)
+    np.testing.assert_allclose(
+        np.asarray(out.fit_distribution.mean),
+        np.asarray(ref.fit_distribution.mean),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.draws), np.asarray(ref.draws), atol=1e-10
+    )
