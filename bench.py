@@ -38,6 +38,7 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3):
         history_length=6,
         ndraws_elbo=5,
         ndraws=max(5, ndraws // n_paths),
+        elbo_chunk=8,
     )
     executor = make_path_executor(mesh=None)
 

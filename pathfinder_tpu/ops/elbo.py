@@ -75,6 +75,7 @@ def maximize_elbo_chunked(
     chunk_size: int,
     ndraws: int,
     valid_mask: jax.Array,
+    dtype=jnp.float32,
 ):
     """Chunked ELBO maximization: candidates are materialized ``chunk_size``
     at a time by ``make_chunk_dists(candidate_indices) -> batched MvNormal``
@@ -86,17 +87,34 @@ def maximize_elbo_chunked(
     C = chunk_size
     nchunks = -(-num_candidates // C)
     pad_total = nchunks * C
+    # chunks that start beyond the last valid candidate are skipped entirely
+    # (a while_loop, not lax.map): with maxiters ≫ actual trajectory length
+    # this saves most of the fit-construction work
+    n_valid_cand = jnp.sum(valid_mask.astype(jnp.int32))
 
     def one_chunk(c):
         idxs = c * C + jnp.arange(C)
         dists = make_chunk_dists(idxs)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
-        vals, ses = jax.vmap(
+        return jax.vmap(
             lambda k, dst: elbo_stats(k, logp, dst, ndraws)
         )(keys, dists)
-        return vals, ses
 
-    vals, ses = jax.lax.map(one_chunk, jnp.arange(nchunks))
+    def cond(carry):
+        c, _, _ = carry
+        return (c < nchunks) & (c * C < n_valid_cand)
+
+    def body(carry):
+        c, vals, ses = carry
+        v, s = one_chunk(c)
+        return c + 1, vals.at[c].set(v), ses.at[c].set(s)
+
+    init = (
+        jnp.asarray(0),
+        jnp.full((nchunks, C), jnp.nan, dtype),
+        jnp.full((nchunks, C), jnp.nan, dtype),
+    )
+    _, vals, ses = jax.lax.while_loop(cond, body, init)
     vals = vals.reshape(pad_total)[:num_candidates]
     ses = ses.reshape(pad_total)[:num_candidates]
     vals = jnp.where(valid_mask, vals, jnp.nan)

@@ -93,37 +93,45 @@ class _LoopState(NamedTuple):
 
 
 def _two_loop_direction(g, alpha, S, Y, pos, hlen):
-    """H·(−g) via the two-loop recursion over the masked circular history.
+    """``−H·g`` over the masked circular history via the compact
+    representation (Byrd et al. 1994, Thm 2.2) — mathematically identical to
+    the classic two-loop recursion, but expressed as one J×J matmul plus two
+    J×J triangular solves instead of 2J sequential gather+dot pairs.
 
-    Mathematically identical to applying the compact Woodbury form of the same
-    history (Byrd et al. 1994), but O(d·J) with no m×m factorization — the
-    right cost profile for the step computation inside the hot loop.
+    The sequential two-loop costs ~60 tiny kernels per call; on TPU the
+    optimizer loop is kernel-count latency-bound (measured ~d-independent
+    1.6 ms/iteration), so the batched compact form is the faster shape even
+    though it does O(J²·d) instead of O(J·d) flops.
     """
+    from jax.scipy.linalg import solve_triangular
+
     J = S.shape[0]
+    if J == 0:
+        return -(alpha * g)
+    dtype = g.dtype
 
-    def fwd(k, carry):
-        q, acoef = carry
-        i = (pos - k) % J
-        valid = k < hlen
-        rho = 1.0 / jnp.vdot(Y[i], S[i])
-        a_i = rho * jnp.vdot(S[i], q)
-        q = jnp.where(valid, q - a_i * Y[i], q)
-        acoef = acoef.at[i].set(jnp.where(valid, a_i, 0.0))
-        return q, acoef
+    # chronological (oldest→newest) view of the circular buffer; when the
+    # history is short, the first J−hlen rows are masked out
+    order = (pos - (J - 1) + jnp.arange(J)) % J
+    mask = (jnp.arange(J) >= (J - hlen)).astype(dtype)
+    S_ord = S[order] * mask[:, None]
+    Y_ord = Y[order] * mask[:, None]
 
-    q, acoef = lax.fori_loop(0, J, fwd, (g, jnp.zeros((J,), g.dtype)))
-    q = alpha * q
+    eyeJ = jnp.eye(J, dtype=dtype)
+    mm = mask[:, None] * mask[None, :]
+    R = jnp.triu(S_ord @ Y_ord.T) * mm + eyeJ * (1.0 - mask)
+    E = jnp.diagonal(R) * mask
+    YaY = Y_ord @ (alpha[None, :] * Y_ord).T
 
-    def bwd(k, q):
-        i = (pos - (J - 1 - k)) % J
-        valid = (J - 1 - k) < hlen
-        rho = 1.0 / jnp.vdot(Y[i], S[i])
-        b_i = rho * jnp.vdot(Y[i], q)
-        q = jnp.where(valid, q + (acoef[i] - b_i) * S[i], q)
-        return q
+    u1 = Y_ord @ (alpha * g)  # B₁ᵀ g
+    u2 = S_ord @ g  # B₂ᵀ g
+    w = solve_triangular(R, u2, lower=False)  # R⁻¹ u2
+    d1 = -w
+    inner = -u1 + E * w + YaY @ w
+    d2 = solve_triangular(R, inner, lower=False, trans=1)  # R⁻ᵀ(...)
 
-    q = lax.fori_loop(0, J, bwd, q)
-    return -q
+    Hg = alpha * g + alpha * (Y_ord.T @ d1) + S_ord.T @ d2
+    return -Hg
 
 
 def minimize_lbfgs_trace(

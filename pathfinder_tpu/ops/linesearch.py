@@ -145,142 +145,104 @@ def wolfe_line_search(
     def curvature_ok(dphi_a):
         return jnp.abs(dphi_a) <= -c2 * dphi0
 
-    def bracket_step(s: _State) -> _State:
-        a = s.a_cur
-        phi_a, g_a, dphi_a = phi(a)
-        nev = s.nev + 1
-        bad = ~(jnp.isfinite(phi_a) & jnp.isfinite(dphi_a))
-
-        # Armijo violated or no longer decreasing -> zoom(prev, cur)
-        to_zoom_hi = (~suff_decrease(a, phi_a)) | (
-            (s.it > 0) & (phi_a >= s.phi_prev)
-        )
-        # strong Wolfe satisfied -> accept
-        accept = curvature_ok(dphi_a) & suff_decrease(a, phi_a)
-        # positive slope -> zoom(cur, prev) with cur as lo
-        to_zoom_lo = dphi_a >= 0
-
-        def on_bad(s):
-            # backtrack toward the last finite point
-            return s._replace(
-                a_cur=s.a_prev + 0.3 * (a - s.a_prev), it=s.it + 1, nev=nev
-            )
-
-        def on_accept(s):
-            return s._replace(
-                stage=jnp.asarray(_DONE),
-                a_acc=a,
-                phi_acc=phi_a,
-                g_acc=g_a,
-                accepted=jnp.asarray(True),
-                nev=nev,
-            )
-
-        def on_zoom_hi(s):
-            return s._replace(
-                stage=jnp.asarray(_ZOOM),
-                a_lo=s.a_prev,
-                phi_lo=s.phi_prev,
-                dphi_lo=s.dphi_prev,
-                # g_lo stays: gradient at a_prev (g0 when a_prev=0; otherwise
-                # a_prev was the previous trial whose gradient we carry)
-                a_hi=a,
-                phi_hi=phi_a,
-                dphi_hi=dphi_a,
-                it=s.it + 1,
-                nev=nev,
-            )
-
-        def on_zoom_lo(s):
-            return s._replace(
-                stage=jnp.asarray(_ZOOM),
-                a_lo=a,
-                phi_lo=phi_a,
-                dphi_lo=dphi_a,
-                g_lo=g_a,
-                a_hi=s.a_prev,
-                phi_hi=s.phi_prev,
-                dphi_hi=s.dphi_prev,
-                it=s.it + 1,
-                nev=nev,
-            )
-
-        def on_expand(s):
-            return s._replace(
-                a_prev=a,
-                phi_prev=phi_a,
-                dphi_prev=dphi_a,
-                g_lo=g_a,  # most recent point with sufficient decrease
-                a_lo=a,
-                phi_lo=phi_a,
-                dphi_lo=dphi_a,
-                a_cur=a * expand,
-                it=s.it + 1,
-                nev=nev,
-            )
-
-        idx = jnp.where(
-            bad, 0, jnp.where(to_zoom_hi, 1, jnp.where(accept, 2, jnp.where(to_zoom_lo, 3, 4)))
-        )
-        return lax.switch(idx, [on_bad, on_zoom_hi, on_accept, on_zoom_lo, on_expand], s)
-
-    def zoom_step(s: _State) -> _State:
-        lo, hi = s.a_lo, s.a_hi
-        width = jnp.abs(hi - lo)
-        a_j = _cubic_min(lo, s.phi_lo, s.dphi_lo, hi, s.phi_hi, s.dphi_hi)
-        # safeguard into the interior
-        lo_b = jnp.minimum(lo, hi) + 0.1 * width
-        hi_b = jnp.maximum(lo, hi) - 0.1 * width
-        a_j = jnp.clip(a_j, lo_b, hi_b)
-        phi_j, g_j, dphi_j = phi(a_j)
-        nev = s.nev + 1
-        bad = ~(jnp.isfinite(phi_j) & jnp.isfinite(dphi_j))
-
-        shrink_hi = bad | (~suff_decrease(a_j, phi_j)) | (phi_j >= s.phi_lo)
-        accept = (~shrink_hi) & curvature_ok(dphi_j)
-
-        def on_shrink_hi(s):
-            return s._replace(
-                a_hi=a_j,
-                phi_hi=jnp.where(bad, s.phi_hi, phi_j),
-                dphi_hi=jnp.where(bad, s.dphi_hi, dphi_j),
-                it=s.it + 1,
-                nev=nev,
-            )
-
-        def on_accept(s):
-            return s._replace(
-                stage=jnp.asarray(_DONE),
-                a_acc=a_j,
-                phi_acc=phi_j,
-                g_acc=g_j,
-                accepted=jnp.asarray(True),
-                nev=nev,
-            )
-
-        def on_move_lo(s):
-            # N&W 3.6: if dphi_j*(hi-lo) >= 0, hi <- lo
-            flip = dphi_j * (s.a_hi - s.a_lo) >= 0
-            return s._replace(
-                a_hi=jnp.where(flip, s.a_lo, s.a_hi),
-                phi_hi=jnp.where(flip, s.phi_lo, s.phi_hi),
-                dphi_hi=jnp.where(flip, s.dphi_lo, s.dphi_hi),
-                a_lo=a_j,
-                phi_lo=phi_j,
-                dphi_lo=dphi_j,
-                g_lo=g_j,
-                it=s.it + 1,
-                nev=nev,
-            )
-
-        idx = jnp.where(shrink_hi, 0, jnp.where(accept, 1, 2))
-        return lax.switch(idx, [on_shrink_hi, on_accept, on_move_lo], s)
-
     def cond(s: _State):
         return (s.stage != _DONE) & (s.nev < max_evals)
 
-    def body(s: _State):
-        return lax.cond(s.stage == _BRACKET, bracket_step, zoom_step, s)
+    def body(s: _State) -> _State:
+        # One flag-driven pass instead of lax.switch over whole-state
+        # branches: under vmap every switch branch executes anyway, and each
+        # branch rebuilding the full state costs ~5× the kernels of a single
+        # jointly-selected update (the optimizer loop is kernel-count bound).
+        in_bracket = s.stage == _BRACKET
+        # evaluation point: bracket evaluates a_cur; zoom evaluates the
+        # safeguarded cubic minimizer of [lo, hi]
+        width = jnp.abs(s.a_hi - s.a_lo)
+        a_cub = _cubic_min(
+            s.a_lo, s.phi_lo, s.dphi_lo, s.a_hi, s.phi_hi, s.dphi_hi
+        )
+        lo_b = jnp.minimum(s.a_lo, s.a_hi) + 0.1 * width
+        hi_b = jnp.maximum(s.a_lo, s.a_hi) - 0.1 * width
+        a = jnp.where(in_bracket, s.a_cur, jnp.clip(a_cub, lo_b, hi_b))
+
+        phi_a, g_a, dphi_a = phi(a)
+        nev = s.nev + 1
+        bad = ~(jnp.isfinite(phi_a) & jnp.isfinite(dphi_a))
+        suff = suff_decrease(a, phi_a)
+        curv = curvature_ok(dphi_a)
+
+        # bracket classification (N&W 3.5)
+        br_zoom_hi = (~bad) & ((~suff) | ((s.it > 0) & (phi_a >= s.phi_prev)))
+        br_accept = (~bad) & ~br_zoom_hi & curv
+        br_zoom_lo = (~bad) & ~br_zoom_hi & ~br_accept & (dphi_a >= 0)
+        br_expand = (~bad) & ~br_zoom_hi & ~br_accept & ~br_zoom_lo
+        # zoom classification (N&W 3.6)
+        zm_shrink = bad | (~suff) | (phi_a >= s.phi_lo)
+        zm_accept = (~zm_shrink) & curv
+        zm_move_lo = (~zm_shrink) & ~zm_accept
+        flip = zm_move_lo & (dphi_a * (s.a_hi - s.a_lo) >= 0)
+
+        accept = jnp.where(in_bracket, br_accept, zm_accept)
+        b = in_bracket
+
+        # lo triple: bracket keeps lo in sync with a_prev (expand / zoom_lo
+        # set it to the evaluated point); zoom moves lo on zm_move_lo
+        set_lo = jnp.where(b, br_expand | br_zoom_lo, zm_move_lo)
+        a_lo = jnp.where(set_lo, a, jnp.where(b & br_zoom_hi, s.a_prev, s.a_lo))
+        phi_lo = jnp.where(set_lo, phi_a, jnp.where(b & br_zoom_hi, s.phi_prev, s.phi_lo))
+        dphi_lo = jnp.where(set_lo, dphi_a, jnp.where(b & br_zoom_hi, s.dphi_prev, s.dphi_lo))
+        g_lo = jnp.where(set_lo, g_a, s.g_lo)
+
+        # hi triple
+        set_hi_a = jnp.where(b, br_zoom_hi, zm_shrink & ~bad)
+        a_hi = jnp.where(
+            jnp.where(b, br_zoom_hi, zm_shrink), a,
+            jnp.where(b & br_zoom_lo, s.a_prev, jnp.where(flip, s.a_lo, s.a_hi)),
+        )
+        phi_hi = jnp.where(
+            set_hi_a, phi_a,
+            jnp.where(b & br_zoom_lo, s.phi_prev, jnp.where(flip, s.phi_lo, s.phi_hi)),
+        )
+        dphi_hi = jnp.where(
+            set_hi_a, dphi_a,
+            jnp.where(b & br_zoom_lo, s.dphi_prev, jnp.where(flip, s.dphi_lo, s.dphi_hi)),
+        )
+
+        # prev triple (bracket bookkeeping on expand)
+        upd_prev = b & br_expand
+        a_prev = jnp.where(upd_prev, a, s.a_prev)
+        phi_prev = jnp.where(upd_prev, phi_a, s.phi_prev)
+        dphi_prev = jnp.where(upd_prev, dphi_a, s.dphi_prev)
+
+        # next bracket trial: backtrack on bad, expand otherwise
+        a_cur = jnp.where(
+            b & bad, s.a_prev + 0.3 * (a - s.a_prev), jnp.where(upd_prev, a * expand, s.a_cur)
+        )
+
+        to_zoom = b & (br_zoom_hi | br_zoom_lo)
+        stage = jnp.where(
+            accept, _DONE, jnp.where(to_zoom, _ZOOM, s.stage)
+        )
+
+        return _State(
+            stage=stage,
+            it=s.it + 1,
+            nev=nev,
+            a_prev=a_prev,
+            phi_prev=phi_prev,
+            dphi_prev=dphi_prev,
+            a_cur=a_cur,
+            a_lo=a_lo,
+            phi_lo=phi_lo,
+            dphi_lo=dphi_lo,
+            g_lo=g_lo,
+            a_hi=a_hi,
+            phi_hi=phi_hi,
+            dphi_hi=dphi_hi,
+            a_acc=jnp.where(accept, a, s.a_acc),
+            phi_acc=jnp.where(accept, phi_a, s.phi_acc),
+            g_acc=jnp.where(accept[None] if accept.ndim else accept, g_a, s.g_acc),
+            accepted=s.accepted | accept,
+        )
 
     final = lax.while_loop(cond, body, init)
 
