@@ -1,4 +1,9 @@
-from pathfinder_tpu.models.protocol import LogDensity, as_log_density
+from pathfinder_tpu.models.protocol import (
+    LogDensity,
+    PytreeTarget,
+    as_log_density,
+    from_pytree_logp,
+)
 from pathfinder_tpu.models.zoo import (
     Banana,
     CorrelatedGaussian,
@@ -11,6 +16,8 @@ from pathfinder_tpu.models.zoo import (
 __all__ = [
     "LogDensity",
     "as_log_density",
+    "from_pytree_logp",
+    "PytreeTarget",
     "StandardNormal",
     "CorrelatedGaussian",
     "NealsFunnel",

@@ -16,7 +16,7 @@ from typing import Callable, Optional
 
 import jax
 
-__all__ = ["LogDensity", "as_log_density"]
+__all__ = ["LogDensity", "as_log_density", "from_pytree_logp", "PytreeTarget"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,3 +87,44 @@ def _vg_from_parts(logp, grad):
         return logp(x), grad(x)
 
     return value_and_grad
+
+
+def from_pytree_logp(logp_tree: Callable, example_params) -> "PytreeTarget":
+    """Adapt a log density over a parameter *pytree* to the flat-vector
+    interface (the idiom PPL-style models use).
+
+    ``logp_tree(params)`` takes a pytree shaped like ``example_params``.
+    Returns a :class:`PytreeTarget` whose ``.target`` is a flat
+    :class:`LogDensity` for ``pathfinder``/``multipathfinder``, plus
+    ``unravel``/``ravel`` to move results back and forth.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(example_params)
+
+    def logp(x):
+        return logp_tree(unravel(x))
+
+    target = LogDensity(logp=logp, dim=int(flat0.shape[0]))
+    return PytreeTarget(target=target, unravel=unravel, example_flat=flat0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PytreeTarget:
+    """Flat-vector view of a pytree-parameterized log density."""
+
+    target: LogDensity
+    unravel: Callable
+    example_flat: "jax.Array"
+
+    def ravel(self, params):
+        from jax.flatten_util import ravel_pytree
+
+        return ravel_pytree(params)[0]
+
+    def unravel_draws(self, draws):
+        """Map a ``(dim, ndraws)`` draw matrix to a pytree with a leading
+        draws axis on every leaf."""
+        import jax as _jax
+
+        return _jax.vmap(self.unravel, in_axes=1)(draws)

@@ -42,6 +42,11 @@ class PSISResult(NamedTuple):
     reff: float
 
     @property
+    def ess(self) -> jax.Array:
+        """Importance-sampling effective sample size ``1/Σ wᵢ²``."""
+        return 1.0 / jnp.sum(self.weights**2)
+
+    @property
     def diagnosis(self) -> str:
         """Quality verdict with the reference's thresholds
         (``src/multipath.jl:54-63``)."""
