@@ -79,18 +79,27 @@ def maximize_elbo_chunked(
 ):
     """Chunked ELBO maximization: candidates are materialized ``chunk_size``
     at a time by ``make_chunk_dists(candidate_indices) -> batched MvNormal``
-    inside a ``lax.map``, bounding memory to O(chunk · d · m) instead of
-    O(L · d · m) — the fixed-shape answer to the reference's per-candidate
-    task loop at large ``maxiters``. Returns ``(best_idx, values, ses,
+    inside an early-exiting ``lax.while_loop`` (chunks past the last valid
+    candidate are skipped; their stats stay NaN), bounding memory to
+    O(chunk · d · m) instead of O(L · d · m) — the fixed-shape answer to the
+    reference's per-candidate task loop at large ``maxiters``. Forward-only
+    (not reverse-differentiable). Returns ``(best_idx, values, ses,
     best_value)`` with per-candidate keys identical to
     :func:`maximize_elbo` (``fold_in(key, candidate_index)``)."""
     C = chunk_size
     nchunks = -(-num_candidates // C)
     pad_total = nchunks * C
-    # chunks that start beyond the last valid candidate are skipped entirely
+    # chunks that start beyond the LAST valid candidate are skipped entirely
     # (a while_loop, not lax.map): with maxiters ≫ actual trajectory length
-    # this saves most of the fit-construction work
-    n_valid_cand = jnp.sum(valid_mask.astype(jnp.int32))
+    # this saves most of the fit-construction work. The cutoff is the last
+    # valid index + 1 (not the count), so scattered masks are handled too.
+    n_valid_cand = jnp.max(
+        jnp.where(
+            valid_mask,
+            jnp.arange(1, valid_mask.shape[0] + 1, dtype=jnp.int32),
+            0,
+        )
+    )
 
     def one_chunk(c):
         idxs = c * C + jnp.arange(C)

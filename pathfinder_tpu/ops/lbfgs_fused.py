@@ -105,6 +105,7 @@ def minimize_lbfgs_trace_fused(
     c1: float = 1e-4,
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
+    progress_every: int = 0,  # accepted for signature parity; not emitted
 ) -> OptimizationTrace:
     """Drop-in replacement for ``minimize_lbfgs_trace`` with the eval-driven
     loop structure. Maximizes ``logp``; trace stores the logp view."""

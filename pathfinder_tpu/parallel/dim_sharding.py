@@ -47,22 +47,33 @@ def dim_sharding_for(mesh: Mesh, leaf) -> NamedSharding:
 
 def shard_dim(tree, mesh: Mesh, dim: Optional[int] = None):
     """Device-put a pytree with every leaf whose leading axis equals ``dim``
-    (default: the largest leading axis divisible by the mesh) sharded over
-    the ``dim`` axis, everything else replicated.
+    (default: the largest mesh-divisible leading axis among the leaves)
+    sharded over the ``dim`` axis, everything else replicated.
 
     Typical use: shard ``x0``/``B``-like operands before a jitted Woodbury /
     Pathfinder computation; XLA propagates the sharding through the whole
     program and inserts the m-length reductions as collectives.
     """
     n_dev = mesh.devices.size
+    if dim is None:
+        # default: only the LARGEST shardable leading axis is the parameter
+        # dimension; smaller leading axes (m×m cores, scalars) replicate
+        sizes = [
+            leaf.shape[0]
+            for leaf in jax.tree_util.tree_leaves(tree)
+            if hasattr(leaf, "ndim")
+            and getattr(leaf, "ndim", 0) >= 1
+            and leaf.shape[0] % n_dev == 0
+            and leaf.shape[0] > 1
+        ]
+        dim = max(sizes) if sizes else -1
 
     def place(leaf):
         leaf = jax.numpy.asarray(leaf)
         is_dim = (
             leaf.ndim >= 1
-            and (dim is None or leaf.shape[0] == dim)
+            and leaf.shape[0] == dim
             and leaf.shape[0] % n_dev == 0
-            and leaf.shape[0] > 1
         )
         if is_dim:
             return jax.device_put(leaf, dim_sharding_for(mesh, leaf))

@@ -11,7 +11,7 @@ determinism contract (``src/multipath.jl:162``, ``src/elbo.jl:2-5``).
 
 Memory model: the jitted core carries only the trajectory trace and compact
 per-candidate ELBO statistics — candidate fits are materialized
-``elbo_chunk`` at a time inside a ``lax.map`` and the winner is rebuilt once
+``elbo_chunk`` at a time inside an early-exiting ``while_loop`` and the winner is rebuilt once
 (O(chunk·d·m) live memory instead of O(maxiters·d·m)). The reference's fully
 materialized per-point ``fit_distributions`` / per-candidate ELBO draws
 (``PathfinderResult`` fields, ``src/singlepath.jl:53-70``) are exposed as
@@ -79,6 +79,9 @@ class PathfinderConfig(NamedTuple):
     # targets) or "lbfgs_eval_driven" (one batched eval per loop step,
     # better when logp dominates — see ops/lbfgs_fused.py)
     optimizer: str = "lbfgs"
+    # >0: emit a host-callback progress line every N optimizer iterations
+    # (the reference's per-iteration ProgressLogging, src/optimize.jl:91-92)
+    progress_every: int = 0
 
 
 class SinglePathState(NamedTuple):
@@ -142,6 +145,7 @@ def pathfinder_core(
         c1=cfg.c1,
         c2=cfg.c2,
         fail_on_nonfinite=cfg.fail_on_nonfinite,
+        progress_every=cfg.progress_every,
     )
     aux = lbfgs_history_aux(trace, cfg.epsilon_curvature)
     L = cfg.maxiters

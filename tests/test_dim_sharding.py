@@ -96,3 +96,15 @@ def test_pathfinder_core_dim_sharded(mesh):
     np.testing.assert_allclose(
         np.asarray(out.draws), np.asarray(ref.draws), atol=1e-10
     )
+
+
+def test_shard_dim_replicates_small_cores(mesh):
+    """Default dim inference must only shard the largest leading axis —
+    m-by-m cores stay replicated."""
+    B = jnp.ones((512, 8))
+    D = jnp.ones((8, 8))
+    B_s, D_s = shard_dim((B, D), mesh)
+    b_spec = B_s.sharding.spec
+    d_spec = D_s.sharding.spec
+    assert b_spec[0] == "dim"
+    assert len(d_spec) == 0 or all(s is None for s in d_spec)

@@ -119,3 +119,30 @@ class TestFindmaxSkipnan:
     def test_mask_behaves_like_nan(self):
         self.check([5.0, 1.0, 2.0], 2.0, 2, mask=[False, False, True])
         self.check([5.0, 1.0], np.nan, 0, mask=[False, False])
+
+
+def test_maximize_elbo_chunked_non_prefix_mask():
+    """Early exit must key off the LAST valid candidate, not the count —
+    scattered validity masks are part of the public contract."""
+    from pathfinder_tpu.ops.elbo import maximize_elbo_chunked
+
+    sigma = 2.0
+    logp = target_logp(sigma)
+    sigmas = [0.5, 1.0, 2.0, 3.0, 0.7, 1.5, 2.5, 4.0]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *[normal_1d(s) for s in sigmas]
+    )
+
+    def make_chunk(idxs):
+        safe = jnp.clip(idxs, 0, 7)
+        return jax.tree_util.tree_map(lambda leaf: leaf[safe], stacked)
+
+    # only candidates 6 (σ=2.5) and 2 (σ=2.0) are valid — 2 wins (exact)
+    mask = jnp.asarray([False, False, True, False, False, False, True, False])
+    idx, vals, ses, best = maximize_elbo_chunked(
+        jax.random.key(0), logp, make_chunk, num_candidates=8, chunk_size=2,
+        ndraws=500, valid_mask=mask, dtype=jnp.float64,
+    )
+    assert int(idx) == 2
+    assert abs(float(best)) < 0.05
+    assert np.isnan(float(vals[0])) and np.isnan(float(vals[7]))
