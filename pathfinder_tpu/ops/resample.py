@@ -30,7 +30,14 @@ def resample_indices(
     if replace:
         if log_weights is None:
             return jax.random.randint(key, (ndraws,), 0, total)
-        return jax.random.categorical(key, log_weights, shape=(ndraws,))
+        # inverse-CDF sampling: O(total + ndraws) memory. (categorical would
+        # materialize an (ndraws, total) Gumbel matrix — 100k draws from a
+        # 100k pool is ~10^10 elements.)
+        w = jax.nn.softmax(log_weights)
+        cdf = jnp.cumsum(w)
+        u = jax.random.uniform(key, (ndraws,), dtype=cdf.dtype)
+        idx = jnp.searchsorted(cdf, u * cdf[-1], side="right")
+        return jnp.clip(idx, 0, total - 1)
     if ndraws > total:
         raise ValueError(
             f"cannot draw {ndraws} from {total} without replacement"

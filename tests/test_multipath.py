@@ -57,6 +57,26 @@ def test_moment_recovery():
     assert k < 0.7, f"pareto shape {k} should be good/ok on a Gaussian target"
 
 
+def test_moment_recovery_reference_shape():
+    """The reference's exact configuration: 10-D correlated Gaussian, 20
+    runs, large draw pool, moments within 15× asymptotic SE
+    (``test/multipath.jl:49-61``)."""
+    d = 10
+    target = CorrelatedGaussian(d, seed=7)
+    ndraws = 100_000
+    res = multipathfinder(
+        target, ndraws, key=jax.random.key(77), nruns=20, maxiters=80,
+        history_length=d, ndraws_per_run=6000,
+    )
+    assert np.all(np.asarray(res.states.success))
+    x = np.asarray(res.draws)
+    se_mean = np.sqrt(np.diag(target.cov) / ndraws)
+    assert np.all(np.abs(x.mean(axis=1) - target.mean) < 15 * se_mean)
+    var_true = np.diag(target.cov)
+    se_var = var_true * np.sqrt(2.0 / (ndraws - 1))
+    assert np.all(np.abs(x.var(axis=1) - var_true) < 15 * se_var)
+
+
 def test_reproducibility_and_key_sensitivity():
     r1, _ = run_multi(key=3)
     r2, _ = run_multi(key=3)
