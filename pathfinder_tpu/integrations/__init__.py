@@ -5,6 +5,11 @@ from pathfinder_tpu.integrations.hmc import (
     leapfrog,
 )
 from pathfinder_tpu.integrations.nuts import NUTSResult, nuts, nuts_warm_start
+from pathfinder_tpu.integrations.ppl import (
+    draws_to_dict,
+    from_numpyro,
+    to_inference_data,
+)
 from pathfinder_tpu.integrations.transforms import (
     Exp,
     Identity,
@@ -21,6 +26,9 @@ __all__ = [
     "nuts",
     "nuts_warm_start",
     "NUTSResult",
+    "from_numpyro",
+    "draws_to_dict",
+    "to_inference_data",
     "Identity",
     "Exp",
     "Interval",
