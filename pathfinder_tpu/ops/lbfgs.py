@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pathfinder_tpu.ops.linesearch import initial_step_size, wolfe_line_search
+from pathfinder_tpu.ops.linesearch import (
+    backtracking_line_search,
+    initial_step_size,
+    wolfe_line_search,
+)
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 
 __all__ = [
@@ -146,6 +150,7 @@ def minimize_lbfgs_trace(
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
     progress_every: int = 0,
+    line_search: str = "wolfe",
 ) -> OptimizationTrace:
     """Maximize ``logp`` with L-BFGS, recording the full trajectory.
 
@@ -173,6 +178,12 @@ def minimize_lbfgs_trace(
     # unreachable gradient tolerances in low precision waste a full failed
     # line search at the trajectory end — clamp to the dtype's resolution
     gtol = max(gtol, float(25 * jnp.finfo(dtype).eps))
+    if line_search == "wolfe":
+        ls_fn = wolfe_line_search
+    elif line_search == "backtracking":
+        ls_fn = backtracking_line_search
+    else:
+        raise ValueError(f"unknown line_search {line_search!r}")
 
     def neg_vg(x):
         lp, glp = value_and_grad(x)
@@ -216,7 +227,7 @@ def minimize_lbfgs_trace(
         a0_first = initial_step_size(s.x, s.f, s.g)
         alpha0 = jnp.where(s.it == 0, a0_first, jnp.ones((), dtype))
 
-        ls = wolfe_line_search(
+        ls = ls_fn(
             neg_vg, s.x, s.f, s.g, direction, alpha0,
             c1=c1, c2=c2, max_evals=max_ls_evals,
         )

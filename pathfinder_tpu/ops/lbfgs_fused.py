@@ -106,6 +106,7 @@ def minimize_lbfgs_trace_fused(
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
     progress_every: int = 0,  # accepted for signature parity; not emitted
+    line_search: str = "wolfe",  # the eval-driven loop embeds the Wolfe search
 ) -> OptimizationTrace:
     """Drop-in replacement for ``minimize_lbfgs_trace`` with the eval-driven
     loop structure. Maximizes ``logp``; trace stores the logp view."""

@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["wolfe_line_search", "LineSearchResult", "initial_step_size"]
+__all__ = [
+    "wolfe_line_search",
+    "backtracking_line_search",
+    "LineSearchResult",
+    "initial_step_size",
+]
 
 # stages of the state machine
 _BRACKET = 0
@@ -88,6 +93,55 @@ def initial_step_size(x0, f0, g0, psi0=0.01):
     one = jnp.ones_like(f0)
     a = jnp.where(xinf > 0, a_x, jnp.where(jnp.abs(f0) > 0, a_f, one))
     return jnp.where(jnp.isfinite(a) & (a > 0), a, one)
+
+
+def backtracking_line_search(
+    value_and_grad: Callable,
+    x: jax.Array,
+    f0: jax.Array,
+    g0: jax.Array,
+    direction: jax.Array,
+    alpha0: jax.Array,
+    c1: float = 1e-4,
+    c2: float = 0.9,  # unused; signature parity with wolfe_line_search
+    max_evals: int = 12,
+    shrink: float = 0.5,
+) -> LineSearchResult:
+    """Armijo backtracking (SURVEY §7's simple fallback variant): halve the
+    step until sufficient decrease holds. Cheaper per step than the Wolfe
+    search but accepted steps may violate the curvature condition, so more
+    BFGS updates get rejected by the positive-definiteness guard — exactly
+    the trade the reference makes when run with non-Wolfe optimizers
+    (``test/optimize.jl:104-135``)."""
+    dtype = x.dtype
+    p = direction
+    dphi0 = jnp.vdot(g0, p).astype(dtype)
+
+    def phi(a):
+        fa, ga = value_and_grad(x + a * p)
+        return fa.astype(dtype), ga
+
+    def cond(s):
+        a, fa, ga, nev, done = s
+        return (~done) & (nev < max_evals)
+
+    def body(s):
+        a, _, _, nev, _ = s
+        fa, ga = phi(a)
+        ok = jnp.isfinite(fa) & (fa <= f0 + c1 * a * dphi0)
+        a_next = jnp.where(ok, a, a * shrink)
+        return (a_next, fa, ga, nev + 1, ok)
+
+    a0 = jnp.asarray(alpha0, dtype)
+    init = (a0, f0, g0, jnp.asarray(0), jnp.asarray(False))
+    a, fa, ga, nev, ok = lax.while_loop(cond, body, init)
+    return LineSearchResult(
+        step_size=jnp.where(ok, a, 0.0),
+        f=jnp.where(ok, fa, f0),
+        g=jnp.where(ok, ga, g0),
+        num_evals=nev,
+        ok=ok,
+    )
 
 
 def wolfe_line_search(

@@ -79,6 +79,9 @@ class PathfinderConfig(NamedTuple):
     # targets) or "lbfgs_eval_driven" (one batched eval per loop step,
     # better when logp dominates — see ops/lbfgs_fused.py)
     optimizer: str = "lbfgs"
+    # line search: "wolfe" (strong-Wolfe bracket/zoom, the Hager-Zhang-class
+    # default) or "backtracking" (Armijo-only fallback)
+    line_search: str = "wolfe"
     # >0: emit a host-callback progress line every N optimizer iterations
     # (the reference's per-iteration ProgressLogging, src/optimize.jl:91-92)
     progress_every: int = 0
@@ -146,6 +149,7 @@ def pathfinder_core(
         c2=cfg.c2,
         fail_on_nonfinite=cfg.fail_on_nonfinite,
         progress_every=cfg.progress_every,
+        line_search=cfg.line_search,
     )
     aux = lbfgs_history_aux(trace, cfg.epsilon_curvature)
     L = cfg.maxiters

@@ -37,3 +37,24 @@ def test_unknown_optimizer_raises():
             StandardNormal(2), key=jax.random.key(0), maxiters=10,
             optimizer="adam",
         )
+
+
+def test_backtracking_line_search_option():
+    target = StandardNormal(4)
+    res = pathfinder(
+        target, key=jax.random.key(1), maxiters=60, line_search="backtracking"
+    )
+    assert res.success
+    np.testing.assert_allclose(
+        res.fit_distribution.mean, np.zeros(4), atol=1e-4
+    )
+
+
+def test_unknown_line_search_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown line_search"):
+        pathfinder(
+            StandardNormal(2), key=jax.random.key(0), maxiters=10,
+            line_search="exact",
+        )
