@@ -50,7 +50,8 @@ def elbo_and_samples(
     """One candidate's ELBO from ``ndraws`` fused draws (parity:
     ``elbo_and_samples``, ``src/elbo.jl:12-20``)."""
     draws, logq = dist.rand_and_logpdf(key, ndraws)
-    logp_x = jax.vmap(logp, in_axes=1)(draws)
+    # cast: user targets may compute in higher precision than the draws
+    logp_x = jax.vmap(logp, in_axes=1)(draws).astype(draws.dtype)
     logr = logp_x - logq
     elbo = jnp.mean(logr)
     var = jnp.sum((logr - elbo) ** 2) / jnp.maximum(ndraws - 1, 1)

@@ -187,7 +187,8 @@ def minimize_lbfgs_trace(
 
     def neg_vg(x):
         lp, glp = value_and_grad(x)
-        return -lp, -glp
+        # cast to the state dtype (user targets may compute in higher precision)
+        return (-lp).astype(dtype), (-glp).astype(dtype)
 
     f0, g0 = neg_vg(x0)
     init_ok = jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0))

@@ -119,7 +119,7 @@ def backtracking_line_search(
 
     def phi(a):
         fa, ga = value_and_grad(x + a * p)
-        return fa.astype(dtype), ga
+        return fa.astype(dtype), ga.astype(dtype)
 
     def cond(s):
         a, fa, ga, nev, done = s
@@ -170,6 +170,9 @@ def wolfe_line_search(
 
     def phi(a):
         fa, ga = value_and_grad(x + a * p)
+        # cast to the state dtype: user targets may compute in higher
+        # precision (e.g. f64 constants) than the optimization state
+        ga = ga.astype(dtype)
         return fa.astype(dtype), ga, jnp.vdot(ga, p).astype(dtype)
 
     init = _State(

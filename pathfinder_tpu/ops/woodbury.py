@@ -393,7 +393,14 @@ class WoodburyPDMat:
     def scale(self, c) -> "WoodburyPDMat":
         """``W * c`` for positive scalar ``c``, keeping Woodbury form
         (parity: ``*``, ``src/woodbury.jl:357-360``; the reference densifies
-        for ``c ≤ 0`` — here the caller must densify explicitly)."""
+        for ``c ≤ 0`` — here the caller must densify explicitly via
+        ``c * W.to_dense()``). A concrete non-positive ``c`` raises; a traced
+        non-positive ``c`` yields NaNs (detectable via ``is_finite_pd``)."""
+        if isinstance(c, (int, float)) and c <= 0:
+            raise ValueError(
+                "scale requires c > 0 to stay positive definite; use "
+                "c * W.to_dense() for non-positive scalars"
+            )
         return WoodburyPDMat.from_parts(self.A * c, self.B, self.D * c)
 
     def __mul__(self, c):
