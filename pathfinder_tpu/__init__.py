@@ -7,6 +7,7 @@ covariance factors, ``vmap``/``shard_map`` path parallelism, and fused
 sampling kernels.
 """
 
+from pathfinder_tpu.models.bayes import BayesModel
 from pathfinder_tpu.models.protocol import LogDensity, as_log_density
 from pathfinder_tpu.multipath import (
     MultiPathfinderResult,
@@ -35,6 +36,7 @@ __all__ = [
     "PathfinderConfig",
     "LogDensity",
     "as_log_density",
+    "BayesModel",
     "MvNormal",
     "UniformMixture",
     "WoodburyPDMat",

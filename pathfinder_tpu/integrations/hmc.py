@@ -76,6 +76,53 @@ class WoodburyMetric:
         """From a :class:`PathfinderResult` (single path)."""
         return WoodburyMetric(result.fit_distribution.cov)
 
+    # -- warm-start exports to external samplers ------------------------------
+    # (the role of the reference's AdvancedHMC/DynamicHMC extensions,
+    # ext/PathfinderAdvancedHMCExt.jl:17-23 / ext/PathfinderDynamicHMCExt.jl:7-15)
+
+    def to_inverse_mass_matrix(self) -> jax.Array:
+        """Dense ``M⁻¹ = W`` (the fit covariance) — the universal exchange
+        format every HMC implementation accepts. O(d²) memory: only for
+        export at moderate ``d``; the in-repo samplers use the factor form."""
+        return self.minv.to_dense()
+
+    def to_numpyro_mass_matrix(self) -> jax.Array:
+        """NumPyro warm-start: ``numpyro.infer.HMC/NUTS(...,
+        inverse_mass_matrix=<this>, adapt_mass_matrix=False)``. NumPyro's
+        dense-mass API takes the *inverse* mass matrix = our ``W``; no
+        NumPyro import is needed to build the array itself."""
+        return self.to_inverse_mass_matrix()
+
+    def to_blackjax(self):
+        """BlackJAX warm-start: a ``blackjax.mcmc.metrics.Metric`` whose
+        momentum sampling / kinetic energy run in O(d·m) low-rank form via
+        the cached factorization (momentum ``p = L⁻ᵀ z`` ⇒ ``cov(p) = W⁻¹ =
+        M``, the reference's RankUpdateEuclideanMetric trick). Requires
+        blackjax; use :meth:`to_inverse_mass_matrix` as the dense fallback:
+        ``blackjax.nuts(logdensity, step_size,
+        inverse_mass_matrix=metric.to_inverse_mass_matrix())``."""
+        try:
+            from blackjax.mcmc.metrics import Metric
+        except ImportError as e:  # pragma: no cover - env without blackjax
+            raise ImportError(
+                "BlackJAX is not installed; use to_inverse_mass_matrix() for "
+                "the dense warm-start instead."
+            ) from e
+
+        def kinetic_energy(momentum, position=None):
+            return self.kinetic_energy(momentum)
+
+        def check_turning(p_left, p_right, p_sum):
+            # generalized U-turn criterion with rho = p_sum (Betancourt):
+            # turning when ⟨M⁻¹ρ, p⟩ ≤ 0 on either end — in low-rank form
+            rho = p_sum
+            minv_rho = self.minv.mul(rho)
+            return (jnp.vdot(minv_rho, p_left) <= 0) | (
+                jnp.vdot(minv_rho, p_right) <= 0
+            )
+
+        return Metric(self.sample_momentum, kinetic_energy, check_turning)
+
 
 def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps, n_steps: int):
     """``n_steps`` leapfrog steps; returns ``(x, p, logp, grad)`` at the end.

@@ -22,7 +22,79 @@ import jax.numpy as jnp
 
 from pathfinder_tpu.models.protocol import LogDensity
 
-__all__ = ["Identity", "Exp", "Interval", "Stacked", "TransformedLogDensity"]
+__all__ = [
+    "Identity",
+    "Exp",
+    "Interval",
+    "Stacked",
+    "TransformedLogDensity",
+    "TransformedDistribution",
+    "resolve_transform",
+]
+
+
+def resolve_transform(fn, transform, dim=None):
+    """Resolve the (fn, transform) inputs of ``pathfinder`` /
+    ``multipathfinder`` into ``(target_input, tld)`` where ``target_input``
+    is what the optimizer should maximize and ``tld`` is the
+    :class:`TransformedLogDensity` (or None for plain unconstrained runs).
+
+    Accepted shapes (the driver-level analog of the reference's Turing
+    method dispatch, ``ext/PathfinderTuringExt.jl:169-186``):
+
+    * ``fn`` is a model object exposing ``.transformed`` (a
+      :class:`TransformedLogDensity`), e.g. :class:`~pathfinder_tpu.models.bayes.BayesModel`;
+    * ``fn`` IS a :class:`TransformedLogDensity`;
+    * ``transform=`` is a :class:`TransformedLogDensity` (``fn`` ignored);
+    * ``transform=`` is a bijector — then ``fn`` is interpreted as the
+      **constrained-space** log density and is linked here.
+    """
+    if transform is None:
+        if isinstance(fn, TransformedLogDensity):
+            return fn.unconstrained, fn
+        t = getattr(fn, "transformed", None)
+        if isinstance(t, TransformedLogDensity):
+            return t.unconstrained, t
+        return fn, None
+    if isinstance(transform, TransformedLogDensity):
+        return transform.unconstrained, transform
+    if not isinstance(transform, Bijector):
+        raise TypeError(
+            "transform must be a Bijector or TransformedLogDensity, got "
+            f"{type(transform)!r}"
+        )
+    logp_c = getattr(fn, "logp", fn)
+    if not callable(logp_c):
+        raise TypeError("fn must be a callable log density when transform= is a bijector")
+    d = dim if dim is not None else getattr(fn, "dim", None)
+    if d is None:
+        raise ValueError("dim is required when transform= is a bijector")
+    tld = _cached_tld(logp_c, transform, int(d))
+    return tld.unconstrained, tld
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_tld(logp_c, bijector, dim) -> "TransformedLogDensity":
+    # one TLD instance per (logp, bijector, dim): repeated pathfinder calls
+    # with the same transform reuse the cached unconstrained closure and so
+    # hit the same pathfinder_core jit entry
+    return TransformedLogDensity(
+        logp_constrained=logp_c, bijector=bijector, dim=dim
+    )
+
+
+def transformed_outputs(tld, input_obj, draws, fit_distribution):
+    """Constrained-space result fields for a transform-aware run: the
+    transformed draws (a named chain dict with per-draw stats when the input
+    model provides ``draws_to_chain``, else the forward-mapped draw matrix)
+    and the pushforward fit distribution. Parity:
+    ``draws_to_chains`` + ``Bijectors.transformed``
+    (``ext/PathfinderTuringExt.jl:43-48,183-185``)."""
+    if tld is None:
+        return draws, fit_distribution
+    chainer = getattr(input_obj, "draws_to_chain", None)
+    draws_t = chainer(draws) if chainer is not None else tld.forward_draws(draws)
+    return draws_t, TransformedDistribution(fit_distribution, tld.bijector)
 
 
 class Bijector:
@@ -153,3 +225,39 @@ class TransformedLogDensity:
 
     def inverse_point(self, x: jax.Array) -> jax.Array:
         return self.bijector.inverse(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformedDistribution:
+    """Pushforward of a fit distribution through a bijector — the analog of
+    the reference's ``fit_distribution_transformed``
+    (``Bijectors.transformed(dist)``, used by the Turing ext;
+    ``PathfinderResult`` field at ``src/singlepath.jl:60``).
+
+    ``base`` is an unconstrained-space distribution (:class:`MvNormal` or
+    ``UniformMixture``) with ``sample``/``logpdf`` over ``(dim, N)``
+    matrices; samples are mapped forward, densities get the inverse
+    change-of-variables correction."""
+
+    base: object
+    bijector: Bijector
+
+    def sample(self, key: jax.Array, ndraws: int):
+        out = self.base.sample(key, ndraws)
+        fwd = jax.vmap(self.bijector.forward, in_axes=1, out_axes=1)
+        if isinstance(out, tuple):  # mixtures return (draws, component_ids)
+            return (fwd(out[0]),) + out[1:]
+        return fwd(out)
+
+    def logpdf(self, x: jax.Array) -> jax.Array:
+        """Log density at constrained ``x`` of shape ``(dim,)`` or
+        ``(dim, N)``: ``logq(z) − log|det J(z)|`` with ``z = inverse(x)``."""
+        single = x.ndim == 1
+        xm = x[:, None] if single else x
+        z = jax.vmap(self.bijector.inverse, in_axes=1, out_axes=1)(xm)
+        ld = jax.vmap(
+            lambda zc: jnp.sum(self.bijector.forward_log_det(zc)),
+            in_axes=1,
+        )(z)
+        out = self.base.logpdf(z) - ld
+        return out[0] if single else out

@@ -1,3 +1,13 @@
+from pathfinder_tpu.models.bayes import (
+    BayesModel,
+    Beta,
+    Exponential,
+    HalfNormal,
+    LogNormal,
+    Normal,
+    StudentT,
+    Uniform,
+)
 from pathfinder_tpu.models.protocol import (
     LogDensity,
     PytreeTarget,
@@ -14,6 +24,14 @@ from pathfinder_tpu.models.zoo import (
 )
 
 __all__ = [
+    "BayesModel",
+    "Normal",
+    "HalfNormal",
+    "LogNormal",
+    "Exponential",
+    "Uniform",
+    "Beta",
+    "StudentT",
     "LogDensity",
     "as_log_density",
     "from_pytree_logp",

@@ -1,0 +1,365 @@
+"""In-repo Bayesian model layer: named priors + likelihood, linked to
+unconstrained space.
+
+This is the executable analog of the reference's Turing/DynamicPPL extension
+(``ext/PathfinderTuringExt.jl``) for environments without a PPL: a
+:class:`BayesModel` plays the role of a ``DynamicPPL.Model`` —
+
+* linking to unconstrained space with the change-of-variables Jacobian
+  (parity: ``create_log_density_function``,
+  ``ext/PathfinderTuringExt.jl:22-29``) via the package's bijectors;
+* converting unconstrained draws back to named constrained parameters with
+  per-draw ``logprior`` / ``loglikelihood`` / ``logjoint`` stats (parity:
+  ``draws_to_chains`` + ``DynamicPPL.ParamsWithStats``,
+  ``ext/PathfinderTuringExt.jl:43-48``);
+* init strategies: from the prior, or from (partially) fixed parameter
+  values (parity: ``InitStrategySampler`` / ``_format_init``,
+  ``ext/PathfinderTuringExt.jl:50-96`` mapping ``InitFromPrior`` /
+  ``InitFromParams``).
+
+``pathfinder(model)`` / ``multipathfinder(model, n)`` accept a
+:class:`BayesModel` directly and return results whose ``draws_transformed``
+are constrained-space draws, re-transformed automatically by ``resample``.
+
+Everything is elementwise JAX; the per-parameter distributions carry their
+support bijector, so the stacked model link is assembled automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathfinder_tpu.integrations.transforms import (
+    Bijector,
+    Exp,
+    Identity,
+    Interval,
+    Stacked,
+    TransformedLogDensity,
+)
+
+__all__ = [
+    "Normal",
+    "HalfNormal",
+    "LogNormal",
+    "Exponential",
+    "Uniform",
+    "Beta",
+    "StudentT",
+    "BayesModel",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class Distribution:
+    """Scalar-elementwise prior distribution: ``log_prob`` in constrained
+    space, a support ``bijector`` (unconstrained → support), and prior
+    sampling for init strategies."""
+
+    bijector: Bijector = Identity()
+
+    def log_prob(self, x):  # elementwise
+        raise NotImplementedError
+
+    def sample(self, key, shape):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class Normal(Distribution):
+    loc: float = 0.0
+    scale: float = 1.0
+    bijector: Bijector = Identity()
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -0.5 * (z * z + _LOG_2PI) - jnp.log(jnp.asarray(self.scale, x.dtype))
+
+    def sample(self, key, shape):
+        return self.loc + self.scale * jax.random.normal(key, shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class HalfNormal(Distribution):
+    scale: float = 1.0
+    bijector: Bijector = Exp()
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return (
+            0.5 * math.log(2.0 / math.pi)
+            - jnp.log(jnp.asarray(self.scale, x.dtype))
+            - 0.5 * z * z
+        )
+
+    def sample(self, key, shape):
+        return self.scale * jnp.abs(jax.random.normal(key, shape))
+
+
+@dataclasses.dataclass(frozen=True)
+class LogNormal(Distribution):
+    loc: float = 0.0
+    scale: float = 1.0
+    bijector: Bijector = Exp()
+
+    def log_prob(self, x):
+        lx = jnp.log(x)
+        z = (lx - self.loc) / self.scale
+        return -0.5 * (z * z + _LOG_2PI) - jnp.log(
+            jnp.asarray(self.scale, x.dtype)
+        ) - lx
+
+    def sample(self, key, shape):
+        return jnp.exp(self.loc + self.scale * jax.random.normal(key, shape))
+
+
+@dataclasses.dataclass(frozen=True)
+class Exponential(Distribution):
+    rate: float = 1.0
+    bijector: Bijector = Exp()
+
+    def log_prob(self, x):
+        return jnp.log(jnp.asarray(self.rate, x.dtype)) - self.rate * x
+
+    def sample(self, key, shape):
+        return jax.random.exponential(key, shape) / self.rate
+
+
+@dataclasses.dataclass(frozen=True)
+class Uniform(Distribution):
+    low: float = 0.0
+    high: float = 1.0
+
+    @property
+    def bijector(self) -> Bijector:
+        return Interval(self.low, self.high)
+
+    def log_prob(self, x):
+        return jnp.full_like(x, -math.log(self.high - self.low))
+
+    def sample(self, key, shape):
+        return jax.random.uniform(key, shape, minval=self.low, maxval=self.high)
+
+
+@dataclasses.dataclass(frozen=True)
+class Beta(Distribution):
+    a: float = 1.0
+    b: float = 1.0
+
+    @property
+    def bijector(self) -> Bijector:
+        return Interval(0.0, 1.0)
+
+    def log_prob(self, x):
+        from jax.scipy.special import betaln
+
+        return (
+            (self.a - 1.0) * jnp.log(x)
+            + (self.b - 1.0) * jnp.log1p(-x)
+            - betaln(self.a, self.b)
+        )
+
+    def sample(self, key, shape):
+        return jax.random.beta(key, self.a, self.b, shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class StudentT(Distribution):
+    df: float = 3.0
+    loc: float = 0.0
+    scale: float = 1.0
+    bijector: Bijector = Identity()
+
+    def log_prob(self, x):
+        from jax.scipy.special import gammaln
+
+        nu = self.df
+        z = (x - self.loc) / self.scale
+        return (
+            gammaln((nu + 1.0) / 2.0)
+            - gammaln(nu / 2.0)
+            - 0.5 * math.log(nu * math.pi)
+            - math.log(self.scale)
+            - (nu + 1.0) / 2.0 * jnp.log1p(z * z / nu)
+        )
+
+    def sample(self, key, shape):
+        return self.loc + self.scale * jax.random.t(key, self.df, shape)
+
+
+def _normalize_priors(priors) -> Tuple[Tuple[str, Distribution, int], ...]:
+    out = []
+    items = priors.items() if isinstance(priors, dict) else priors
+    for item in items:
+        if isinstance(priors, dict):
+            name, spec = item
+        else:
+            name, spec = item[0], item[1:] if len(item) > 2 else item[1]
+        if isinstance(spec, tuple):
+            dist, size = spec
+        else:
+            dist, size = spec, 1
+        out.append((name, dist, int(size)))
+    return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BayesModel:
+    """``priors``: ``{name: dist}`` or ``{name: (dist, size)}`` (ordered);
+    ``loglikelihood``: optional callable taking the named constrained
+    parameter dict and returning a scalar log likelihood.
+
+    Identity-hashed (like the callables it wraps) so one model instance maps
+    to one jit cache entry.
+    """
+
+    priors: Tuple[Tuple[str, Distribution, int], ...]
+    loglikelihood: Optional[Callable] = None
+
+    def __init__(self, priors, loglikelihood=None):
+        object.__setattr__(self, "priors", _normalize_priors(priors))
+        object.__setattr__(self, "loglikelihood", loglikelihood)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    # -- shapes ---------------------------------------------------------------
+    @property
+    def dim(self) -> int:
+        return sum(size for _, _, size in self.priors)
+
+    @property
+    def names(self):
+        return [name for name, _, _ in self.priors]
+
+    def split(self, x: jax.Array) -> Dict[str, jax.Array]:
+        """Flat constrained vector → named parameter dict (scalars for
+        size-1 blocks)."""
+        out, i = {}, 0
+        for name, _, size in self.priors:
+            block = x[i : i + size]
+            out[name] = block[0] if size == 1 else block
+            i += size
+        return out
+
+    def join(self, params: Dict[str, jax.Array]) -> jax.Array:
+        """Named parameter dict → flat constrained vector."""
+        parts = []
+        for name, _, size in self.priors:
+            parts.append(jnp.reshape(jnp.asarray(params[name]), (size,)))
+        return jnp.concatenate(parts)
+
+    # -- densities (constrained space) ---------------------------------------
+    def logprior(self, params: Dict[str, jax.Array]) -> jax.Array:
+        total = 0.0
+        for name, dist, size in self.priors:
+            total = total + jnp.sum(dist.log_prob(jnp.asarray(params[name])))
+        return total
+
+    def logjoint(self, params: Dict[str, jax.Array]) -> jax.Array:
+        lp = self.logprior(params)
+        if self.loglikelihood is not None:
+            lp = lp + self.loglikelihood(params)
+        return lp
+
+    def constrained_logp(self, x: jax.Array) -> jax.Array:
+        return self.logjoint(self.split(x))
+
+    # -- linking (parity: create_log_density_function) ------------------------
+    @functools.cached_property
+    def bijector(self) -> Stacked:
+        return Stacked(
+            tuple((dist.bijector, size) for _, dist, size in self.priors)
+        )
+
+    @functools.cached_property
+    def transformed(self) -> TransformedLogDensity:
+        """The unconstrained linked density with Jacobian correction —
+        hand ``.unconstrained`` to ``pathfinder`` (done automatically when a
+        model is passed directly)."""
+        return TransformedLogDensity(
+            logp_constrained=self.constrained_logp,
+            bijector=self.bijector,
+            dim=self.dim,
+        )
+
+    # -- init strategies (parity: ext/PathfinderTuringExt.jl:50-96) -----------
+    def init_from_prior(self) -> Callable:
+        """An ``init_sampler`` drawing the initial point from the prior and
+        linking it to unconstrained space (parity: ``InitFromPrior`` via
+        ``InitStrategySampler``)."""
+
+        def sampler(key, dim, dtype=jnp.float32):
+            x = self.sample_prior(key)
+            return self.bijector.inverse(x).astype(dtype)
+
+        return sampler
+
+    def sample_prior(self, key: jax.Array) -> jax.Array:
+        """One flat constrained draw from the prior."""
+        parts = []
+        for i, (name, dist, size) in enumerate(self.priors):
+            parts.append(
+                jnp.reshape(dist.sample(jax.random.fold_in(key, i), (size,)), (size,))
+            )
+        return jnp.concatenate(parts)
+
+    def init_from_params(self, params: Dict[str, jax.Array], key=None) -> jax.Array:
+        """Unconstrained initial point from (possibly partial) constrained
+        parameter values; unspecified parameters are drawn from their prior
+        (parity: ``InitFromParams``, ``ext/PathfinderTuringExt.jl:74-96``)."""
+        if key is None:
+            key = jax.random.key(0)
+        full = dict(self.split(self.sample_prior(key)))
+        for name, val in params.items():
+            if name not in full:
+                raise KeyError(f"unknown parameter {name!r}")
+            full[name] = jnp.asarray(val)
+        return self.bijector.inverse(self.join(full))
+
+    # -- draw conversion (parity: draws_to_chains + ParamsWithStats) ----------
+    def constrain_draws(self, draws: jax.Array) -> Dict[str, jax.Array]:
+        """Unconstrained ``(dim, ndraws)`` → named constrained arrays with a
+        leading draws axis."""
+        con = jax.vmap(self.bijector.forward, in_axes=1)(draws)  # (N, dim)
+        out, i = {}, 0
+        for name, _, size in self.priors:
+            block = con[:, i : i + size]
+            out[name] = block[:, 0] if size == 1 else block
+            i += size
+        return out
+
+    def pointwise_stats(self, draws: jax.Array) -> Dict[str, jax.Array]:
+        """Per-draw ``logprior`` / ``loglikelihood`` / ``logjoint`` of the
+        constrained draws (the reference chains' Extras,
+        ``ext/PathfinderTuringExt.jl:43-48``)."""
+
+        def one(z):
+            params = self.split(self.bijector.forward(z))
+            lp = self.logprior(params)
+            ll = (
+                self.loglikelihood(params)
+                if self.loglikelihood is not None
+                else jnp.zeros_like(lp)
+            )
+            return lp, ll
+
+        lp, ll = jax.vmap(one, in_axes=1)(draws)
+        return {"logprior": lp, "loglikelihood": ll, "logjoint": lp + ll}
+
+    def draws_to_chain(self, draws: jax.Array) -> Dict[str, jax.Array]:
+        """Named constrained draws + per-draw stats in one dict — the
+        chain-object analog used for ``draws_transformed``."""
+        out = self.constrain_draws(draws)
+        out.update(self.pointwise_stats(draws))
+        return out

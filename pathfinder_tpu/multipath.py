@@ -40,18 +40,26 @@ def _select_component_fits(states: SinglePathState) -> MvNormal:
     return states.fit_distribution
 
 
-@jax.jit
-def _log_importance_ratios_fit(components: MvNormal, draws_knd: jax.Array):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _log_importance_ratios_fit(
+    components: MvNormal, draws_knd: jax.Array, use_pallas: bool = False
+):
     """logq of each draw under *its own* component (not the mixture!) —
     reference semantics at ``src/resample.jl:81-89``."""
-    return jax.vmap(lambda c, dk: c.logpdf(dk.T))(components, draws_knd)
+    return jax.vmap(lambda c, dk: c.logpdf(dk.T, use_pallas=use_pallas))(
+        components, draws_knd
+    )
 
 
 def _compute_psis_result(
-    logp: Callable, components: MvNormal, draws_knd: jax.Array
+    logp: Callable, components: MvNormal, draws_knd: jax.Array,
+    use_pallas: bool = False,
 ) -> PSISResult:
     """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``)."""
-    log_q = _log_importance_ratios_fit(components, draws_knd)  # (K, N)
+    log_q = _log_importance_ratios_fit(components, draws_knd, use_pallas)  # (K, N)
     log_p = jax.vmap(jax.vmap(logp))(draws_knd)  # (K, N)
     log_ratios = (log_p - log_q).reshape(-1)  # component-major
     return psis(log_ratios)
@@ -83,8 +91,14 @@ class MultiPathfinderResult:
 
     def path_result(self, k: int) -> PathfinderResult:
         """Materialize the k-th path's :class:`PathfinderResult` view
-        (parity: ``pathfinder_results`` field)."""
+        (parity: ``pathfinder_results`` field; per-path ``draws_transformed``
+        like ``ext/PathfinderTuringExt.jl:269-277``)."""
+        from pathfinder_tpu.integrations.transforms import transformed_outputs
+
         st = jax.tree_util.tree_map(lambda leaf: leaf[k], self.states)
+        draws_t, fit_t = transformed_outputs(
+            self.transform, self.input, st.draws, st.fit_distribution
+        )
         return PathfinderResult(
             input=self.input,
             config=self.config,
@@ -92,8 +106,8 @@ class MultiPathfinderResult:
             logp=self.logp,
             fit_distribution=st.fit_distribution,
             draws=st.draws,
-            fit_distribution_transformed=st.fit_distribution,
-            draws_transformed=st.draws,
+            fit_distribution_transformed=fit_t,
+            draws_transformed=draws_t,
             fit_iteration=int(st.fit_iteration),
             num_tries=int(self.num_tries[k]),
             optim_trace=st.trace,
@@ -103,6 +117,7 @@ class MultiPathfinderResult:
             success=bool(st.success),
             num_fn_evals=int(st.num_fn_evals),
             state=st,
+            transform=self.transform,
         )
 
     @property
@@ -145,6 +160,7 @@ def multipathfinder(
     mesh=None,
     dtype=None,
     progress: bool = False,
+    transform=None,
     **config_overrides,
 ) -> MultiPathfinderResult:
     """Run Pathfinder from ``nruns`` starting points, mix, and importance-
@@ -155,8 +171,21 @@ def multipathfinder(
     (``src/multipath.jl:138``); ``importance=True`` enables PSIS. ``mesh``
     shards the paths axis across devices. The reference's
     ``ntasks``/``ntasks_per_run`` have no analog — everything is batched.
+
+    ``fn`` may also be a ``BayesModel`` or ``TransformedLogDensity``, or
+    ``transform=`` a bijector/``TransformedLogDensity`` (see
+    :func:`pathfinder`); then optimization runs in unconstrained space and
+    ``draws_transformed`` (for the pooled result and every per-path view)
+    holds constrained draws, re-derived automatically by :func:`resample`
+    (parity: ``ext/PathfinderTuringExt.jl:246-286``).
     """
-    target = as_log_density(fn, dim=dim, grad=grad)
+    from pathfinder_tpu.integrations.transforms import (
+        resolve_transform,
+        transformed_outputs,
+    )
+
+    target_input, tld = resolve_transform(fn, transform, dim=dim)
+    target = as_log_density(target_input, dim=dim, grad=grad)
 
     if init is not None:
         init = jnp.asarray(init)
@@ -227,7 +256,12 @@ def multipathfinder(
     keys0 = path_keys(0)
     states = executor(keys0, path_inits(keys0, 0), target, config)
     num_tries = np.ones(K, dtype=np.int64)
-    retry_executor = make_path_executor(mesh=None)
+    # retries reuse the sharded executor: failed lanes are compacted, then
+    # padded to a power of two (so at most log2(K) retry shapes compile) AND
+    # to a mesh-divisible size, so a large failed batch on a 1000-path
+    # sharded run keeps riding the mesh instead of serializing onto one chip.
+    # Keys depend only on (path id, round), so results are independent of
+    # batch layout and of the mesh.
     rounds = 1
     while rounds < ntries:
         failed = np.array(~states.success)  # writable host copy
@@ -240,6 +274,7 @@ def multipathfinder(
             break
         fidx = np.nonzero(failed)[0]
         B = 1 << max(0, int(np.ceil(np.log2(len(fidx)))))
+        B = pad_paths(B, mesh)
         pad_idx = np.concatenate([fidx, np.full(B - len(fidx), fidx[0])])
         sel = jnp.asarray(pad_idx)
         keys_r = jax.vmap(
@@ -248,7 +283,7 @@ def multipathfinder(
         x0s_r = jax.vmap(lambda k: sampler(jax.random.fold_in(k, 1), d, dtype))(
             keys_r
         )
-        retry = retry_executor(keys_r, x0s_r, target, config)
+        retry = executor(keys_r, x0s_r, target, config)
         retry = jax.tree_util.tree_map(lambda leaf: leaf[: len(fidx)], retry)
 
         def merge(old, new):
@@ -279,7 +314,9 @@ def multipathfinder(
     draws_knd = jnp.swapaxes(states.draws, 1, 2)  # (K, N, d)
 
     psis_result = (
-        _compute_psis_result(target.logp, components, draws_knd)
+        _compute_psis_result(
+            target.logp, components, draws_knd, use_pallas=config.use_pallas
+        )
         if importance
         else None
     )
@@ -288,6 +325,7 @@ def multipathfinder(
         key_resample, draws_knd, psis_result, ndraws
     )
 
+    draws_t, fit_t = transformed_outputs(tld, fn, draws, mixture)
     return MultiPathfinderResult(
         input=fn,
         config=config,
@@ -296,13 +334,14 @@ def multipathfinder(
         fit_distribution=mixture,
         draws=draws,
         draw_component_ids=component_ids,
-        fit_distribution_transformed=mixture,
-        draws_transformed=draws,
+        fit_distribution_transformed=fit_t,
+        draws_transformed=draws_t,
         states=states,
         psis_result=psis_result,
         num_tries=jnp.asarray(num_tries),
         draws_per_component=draws_knd,
         target=target,
+        transform=tld,
     )
 
 
@@ -343,7 +382,10 @@ def resample(
         psis_used = (
             psis_stored
             if psis_stored is not None
-            else _compute_psis_result(result.logp, components, draws_knd)
+            else _compute_psis_result(
+                result.logp, components, draws_knd,
+                use_pallas=result.config.use_pallas,
+            )
         )
     else:
         psis_used = None
@@ -351,10 +393,13 @@ def resample(
     draws, component_ids = resample_draws(
         key, draws_knd, psis_used, ndraws, replace=replace
     )
-    draws_transformed = (
-        result.transform.forward_draws(draws)
-        if result.transform is not None
-        else draws
+    # re-derive the constrained view on the fresh draws (parity:
+    # _rebuild_draws_transformed hook, src/resample.jl:112 +
+    # ext/PathfinderTuringExt.jl:280-286)
+    from pathfinder_tpu.integrations.transforms import transformed_outputs
+
+    draws_transformed, _ = transformed_outputs(
+        result.transform, result.input, draws, result.fit_distribution
     )
     return dataclasses.replace(
         result,

@@ -45,11 +45,12 @@ class ELBOEstimate(NamedTuple):
 
 
 def elbo_and_samples(
-    key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int
+    key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int,
+    use_pallas: bool = False,
 ) -> ELBOEstimate:
     """One candidate's ELBO from ``ndraws`` fused draws (parity:
     ``elbo_and_samples``, ``src/elbo.jl:12-20``)."""
-    draws, logq = dist.rand_and_logpdf(key, ndraws)
+    draws, logq = dist.rand_and_logpdf(key, ndraws, use_pallas=use_pallas)
     # cast: user targets may compute in higher precision than the draws
     logp_x = jax.vmap(logp, in_axes=1)(draws).astype(draws.dtype)
     logr = logp_x - logq
@@ -59,12 +60,13 @@ def elbo_and_samples(
     return ELBOEstimate(elbo, se, draws, logp_x, logq, logr)
 
 
-def elbo_stats(key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int):
+def elbo_stats(key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int,
+               use_pallas: bool = False):
     """Compact (value, std_err) ELBO estimate — the draws are NOT retained;
     they are deterministically replayable from the same key via
     :func:`elbo_and_samples` (pure-functional PRNG = free checkpoint/replay,
     replacing the reference's stored per-candidate draw matrices)."""
-    est = elbo_and_samples(key, logp, dist, ndraws)
+    est = elbo_and_samples(key, logp, dist, ndraws, use_pallas=use_pallas)
     return est.value, est.std_err
 
 
@@ -77,6 +79,7 @@ def maximize_elbo_chunked(
     ndraws: int,
     valid_mask: jax.Array,
     dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     """Chunked ELBO maximization: candidates are materialized ``chunk_size``
     at a time by ``make_chunk_dists(candidate_indices) -> batched MvNormal``
@@ -107,7 +110,7 @@ def maximize_elbo_chunked(
         dists = make_chunk_dists(idxs)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
         return jax.vmap(
-            lambda k, dst: elbo_stats(k, logp, dst, ndraws)
+            lambda k, dst: elbo_stats(k, logp, dst, ndraws, use_pallas=use_pallas)
         )(keys, dists)
 
     def cond(carry):

@@ -33,6 +33,7 @@ from jax import lax
 
 from pathfinder_tpu.ops.linesearch import (
     backtracking_line_search,
+    hager_zhang_line_search,
     initial_step_size,
     wolfe_line_search,
 )
@@ -40,6 +41,7 @@ from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 
 __all__ = [
     "gilbert_init",
+    "should_abort_nonfinite",
     "minimize_lbfgs_trace",
     "OptimizationTrace",
     "lbfgs_inverse_hessian",
@@ -49,6 +51,20 @@ __all__ = [
     "LbfgsHistoryAux",
     "history_windows",
 ]
+
+
+def should_abort_nonfinite(logp_value, grad_logp, fail_on_nonfinite=True):
+    """The reference callback's abort predicate, in the logp view
+    (``src/optimize.jl:103-105``): abort iff ``fail_on_nonfinite`` and
+    (``isnan(logp)`` or ``logp == +Inf`` or any gradient entry non-finite).
+    Note ``logp == -Inf`` (zero density) does NOT abort — the optimizer is
+    allowed to descend out of a zero-density region."""
+    bad = (
+        jnp.isnan(logp_value)
+        | (logp_value == jnp.inf)
+        | jnp.any(~jnp.isfinite(grad_logp))
+    )
+    return jnp.asarray(fail_on_nonfinite) & bad
 
 
 def gilbert_init(alpha, s, y):
@@ -71,6 +87,10 @@ class OptimizationTrace(NamedTuple):
     num_valid: jax.Array  # () int: number of valid points (≥ 1)
     num_bfgs_updates_rejected: jax.Array  # () int
     num_fn_evals: jax.Array  # () int: value_and_grad evaluations
+    # () int: steps kept via the line search's exhausted-budget fallback
+    # rather than a point satisfying the (approximate) Wolfe conditions —
+    # a trajectory-quality diagnostic (many exhaustions = raise max_ls_evals)
+    num_ls_exhausted: jax.Array = 0
 
     @property
     def point_mask(self) -> jax.Array:
@@ -90,6 +110,7 @@ class _LoopState(NamedTuple):
     hlen: jax.Array  # effective history length
     nrej: jax.Array
     nev: jax.Array
+    nexh: jax.Array  # line-search exhaustion count
     done: jax.Array
     xs: jax.Array
     fs: jax.Array
@@ -150,7 +171,7 @@ def minimize_lbfgs_trace(
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
     progress_every: int = 0,
-    line_search: str = "wolfe",
+    line_search: str = "hager_zhang",
 ) -> OptimizationTrace:
     """Maximize ``logp`` with L-BFGS, recording the full trajectory.
 
@@ -162,15 +183,21 @@ def minimize_lbfgs_trace(
     ``optimize_with_trace`` + default optimizer config
     (``src/optimize.jl:35-59``, ``src/Pathfinder.jl:29-35``): history length
     ``J``, Wolfe line search, gradient-norm stopping, non-finite handling
-    (``src/optimize.jl:103-105``). Unlike the reference, a non-finite point
-    is *never* recorded in the trace: non-finite trial values make the line
-    search backtrack (the same behavior Hager-Zhang gives the reference
-    whether or not its abort callback fires), and the trajectory ends when
-    no finite-progress step exists. Consequently ``fail_on_nonfinite`` is
-    accepted for keyword parity but has no separate False behavior — both
-    settings yield the truncated-finite-trajectory semantics, which the
-    NaN-skipping ELBO argmax (``src/utils.jl:51-72``) makes observationally
-    equivalent to the reference's record-then-abort.
+    (``src/optimize.jl:103-105``).
+
+    ``fail_on_nonfinite`` follows the reference callback's semantics
+    (:func:`should_abort_nonfinite`): with ``True`` (default) the loop stops
+    as soon as an *evaluated-and-kept* iterate — the initial point or an
+    accepted line-search step — has ``isnan(logp)``, ``logp == +Inf``, or a
+    non-finite gradient entry (``logp == -Inf`` is tolerated, exactly like
+    the reference: the optimizer may climb out of a zero-density region).
+    With ``False`` optimization continues past such a point, relying on the
+    curvature guard / NaN-skipping ELBO argmax downstream — mirroring the
+    reference, where the solve flounders on from the non-finite iterate. One
+    divergence either way: non-finite *trial* values inside the line search
+    make it backtrack and are never recorded, so the trace only ever holds
+    points the search kept (observationally equivalent to the reference's
+    record-then-abort via the NaN-skip argmax, ``src/utils.jl:51-72``).
     """
     d = x0.shape[0]
     dtype = x0.dtype
@@ -178,7 +205,9 @@ def minimize_lbfgs_trace(
     # unreachable gradient tolerances in low precision waste a full failed
     # line search at the trajectory end — clamp to the dtype's resolution
     gtol = max(gtol, float(25 * jnp.finfo(dtype).eps))
-    if line_search == "wolfe":
+    if line_search == "hager_zhang":
+        ls_fn = hager_zhang_line_search
+    elif line_search == "wolfe":
         ls_fn = wolfe_line_search
     elif line_search == "backtracking":
         ls_fn = backtracking_line_search
@@ -191,7 +220,12 @@ def minimize_lbfgs_trace(
         return (-lp).astype(dtype), (-glp).astype(dtype)
 
     f0, g0 = neg_vg(x0)
-    init_ok = jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0))
+    # abort rule in the minimizer view: f = -logp, so logp==+Inf ⇔ f==-Inf
+    init_abort = should_abort_nonfinite(-f0, -g0, fail_on_nonfinite)
+    # a NaN/Inf-gradient start can't make progress either way; with
+    # fail_on_nonfinite=False we still *attempt* a step (reference: the solve
+    # continues and flounders), which burns line-search evals but ends with
+    # the same 1-point trace
 
     xs = jnp.zeros((maxiters + 1, d), dtype).at[0].set(x0)
     fs = jnp.zeros((maxiters + 1,), dtype).at[0].set(-f0)
@@ -209,7 +243,8 @@ def minimize_lbfgs_trace(
         hlen=jnp.asarray(0),
         nrej=jnp.asarray(0),
         nev=jnp.asarray(1),
-        done=~init_ok,
+        nexh=jnp.asarray(0),
+        done=init_abort,
         xs=xs,
         fs=fs,
         gs=gs,
@@ -236,8 +271,13 @@ def minimize_lbfgs_trace(
 
         x_new = s.x + ls.step_size * direction
         f_new, g_new = ls.f, ls.g
-        finite = jnp.isfinite(f_new) & jnp.all(jnp.isfinite(g_new))
-        progress = ls.ok & finite
+        # the line searches only accept finite objective values, so an
+        # accepted step is recorded unconditionally (the reference callback
+        # records every iterate, src/optimize.jl:99-101); the abort decision
+        # is separate (record-then-abort, :103-105)
+        progress = ls.ok
+        abort = should_abort_nonfinite(-f_new, -g_new, fail_on_nonfinite)
+        nexh = s.nexh + jnp.where(progress & ls.exhausted, 1, 0)
 
         # curvature-guarded history update (src/inverse_hessian.jl:46-58)
         svec = x_new - s.x
@@ -259,7 +299,7 @@ def minimize_lbfgs_trace(
         gs = s.gs.at[it_new].set(jnp.where(progress, -g_new, s.gs[it_new]))
 
         converged = jnp.max(jnp.abs(g_new)) <= gtol
-        done = (~progress) | converged
+        done = (~progress) | converged | (progress & abort)
 
         if progress_every > 0:
             def _report(it, fx):
@@ -284,6 +324,7 @@ def minimize_lbfgs_trace(
             hlen=hlen,
             nrej=nrej,
             nev=nev,
+            nexh=nexh,
             done=done,
             xs=xs,
             fs=fs,
@@ -298,6 +339,7 @@ def minimize_lbfgs_trace(
         num_valid=final.it + 1,
         num_bfgs_updates_rejected=final.nrej,
         num_fn_evals=final.nev,
+        num_ls_exhausted=final.nexh,
     )
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
+    "hager_zhang_line_search",
     "wolfe_line_search",
     "backtracking_line_search",
     "LineSearchResult",
@@ -44,6 +45,10 @@ class LineSearchResult(NamedTuple):
     g: jax.Array  # (d,) gradient at accepted point
     num_evals: jax.Array  # () value_and_grad evaluations used
     ok: jax.Array  # () bool: made finite progress with sufficient decrease
+    # () bool: budget ran out and the fallback point was used instead of a
+    # point satisfying the (approximate) Wolfe conditions — surfaced per
+    # trajectory as OptimizationTrace.num_ls_exhausted
+    exhausted: jax.Array = False
 
 
 class _State(NamedTuple):
@@ -141,6 +146,291 @@ def backtracking_line_search(
         g=jnp.where(ok, ga, g0),
         num_evals=nev,
         ok=ok,
+    )
+
+
+# Hager-Zhang stage machine
+_HZ_BRACKET = 0  # expansion phase (HZ "bracket")
+_HZ_U3 = 1  # inner bisection of update rule U3
+_HZ_SECANT1 = 2  # first secant of secant²
+_HZ_SECANT2 = 3  # second secant of secant²
+_HZ_BISECT_G = 4  # γ-safeguard bisection
+_HZ_DONE = 5
+
+
+class _HZState(NamedTuple):
+    stage: jax.Array
+    nev: jax.Array
+    c: jax.Array  # next evaluation point
+    # low endpoint (invariant: φ(a) ≤ φ0 + εk, φ'(a) < 0)
+    a: jax.Array
+    phi_a: jax.Array
+    dphi_a: jax.Array
+    g_a: jax.Array
+    # high endpoint (invariant once bracketed: φ'(b) ≥ 0 or φ(b) > φ0 + εk)
+    b: jax.Array
+    phi_b: jax.Array
+    dphi_b: jax.Array
+    # endpoints saved at entry to SECANT1 (for secant² + the γ rule)
+    a0: jax.Array
+    b0: jax.Array
+    phi_a0: jax.Array
+    dphi_a0: jax.Array
+    phi_b0: jax.Array
+    dphi_b0: jax.Array
+    # accepted point
+    a_acc: jax.Array
+    phi_acc: jax.Array
+    g_acc: jax.Array
+    accepted: jax.Array
+
+
+def _secant(a, dphi_a, b, dphi_b):
+    """Secant step for φ': root of the linear interpolant of φ' on [a, b]."""
+    denom = dphi_b - dphi_a
+    c = (a * dphi_b - b * dphi_a) / denom
+    ok = jnp.isfinite(c) & (jnp.abs(denom) > 1e-32)
+    return jnp.where(ok, c, 0.5 * (a + b))
+
+
+def hager_zhang_line_search(
+    value_and_grad: Callable,
+    x: jax.Array,
+    f0: jax.Array,
+    g0: jax.Array,
+    direction: jax.Array,
+    alpha0: jax.Array,
+    c1: float = 0.1,
+    c2: float = 0.9,
+    max_evals: int = 12,
+    expand: float = 5.0,
+    epsilon: float = 1e-6,
+    gamma: float = 0.66,
+    theta: float = 0.5,
+) -> LineSearchResult:
+    """Hager-Zhang line search (Hager & Zhang 2005, "Algorithm 851:
+    CG_DESCENT"; the reference's default via ``LineSearches.HagerZhang``,
+    ``src/Pathfinder.jl:25-35``), as a one-evaluation-per-iteration
+    ``lax.while_loop`` state machine.
+
+    Accepts ``a`` satisfying either the standard (weak) Wolfe conditions
+
+        φ(a) ≤ φ(0) + δ·a·φ'(0)   and   φ'(a) ≥ σ·φ'(0)
+
+    or the *approximate Wolfe* conditions (HZ eq. 4.1; immune to the
+    floating-point noise floor of φ near the minimizer that defeats the
+    sufficient-decrease test)
+
+        (2δ−1)·φ'(0) ≥ φ'(a) ≥ σ·φ'(0)   when   φ(a) ≤ φ(0) + ε·|φ(0)|
+
+    with δ=``c1`` (HZ default 0.1), σ=``c2`` (0.9). Interval management is
+    HZ's: expansion by ρ=``expand`` (5.0) until a sign change of φ' brackets
+    a minimizer, the U3 inner bisection for high-value/negative-slope
+    points, repeated *secant²* double-secant steps, and a γ-rule bisection
+    whenever an update fails to shrink the bracket by the factor γ=0.66.
+    Non-finite trial values backtrack geometrically toward the low endpoint
+    (matching the reference's NaN/Inf handling, ``src/optimize.jl:103-105``).
+
+    ``value_and_grad`` is the *minimization* objective. Exhausted budgets
+    fall back to the best sufficient-decrease point seen (flagged via
+    ``exhausted``).
+    """
+    dtype = x.dtype
+    p = direction
+    dphi0 = jnp.vdot(g0, p).astype(dtype)
+    zero = jnp.zeros((), dtype)
+    eps_k = epsilon * jnp.abs(f0)
+    delta, sigma = c1, c2
+
+    def phi(a):
+        fa, ga = value_and_grad(x + a * p)
+        ga = ga.astype(dtype)
+        return fa.astype(dtype), ga, jnp.vdot(ga, p).astype(dtype)
+
+    init = _HZState(
+        stage=jnp.asarray(_HZ_BRACKET),
+        nev=jnp.asarray(0),
+        c=jnp.asarray(alpha0, dtype),
+        a=zero,
+        phi_a=f0,
+        dphi_a=dphi0,
+        g_a=g0,
+        b=zero,
+        phi_b=f0,
+        dphi_b=dphi0,
+        a0=zero,
+        b0=zero,
+        phi_a0=f0,
+        dphi_a0=dphi0,
+        phi_b0=f0,
+        dphi_b0=dphi0,
+        a_acc=zero,
+        phi_acc=f0,
+        g_acc=g0,
+        accepted=jnp.asarray(False),
+    )
+
+    def cond(s: _HZState):
+        return (s.stage != _HZ_DONE) & (s.nev < max_evals)
+
+    def body(s: _HZState) -> _HZState:
+        c = s.c
+        phi_c, g_c, dphi_c = phi(c)
+        nev = s.nev + 1
+        bad = ~(jnp.isfinite(phi_c) & jnp.isfinite(dphi_c))
+
+        # acceptance: standard weak Wolfe OR approximate Wolfe (HZ eq. 4.1)
+        wolfe = (phi_c <= f0 + delta * c * dphi0) & (dphi_c >= sigma * dphi0)
+        approx = (
+            (phi_c <= f0 + eps_k)
+            & (dphi_c >= sigma * dphi0)
+            & (dphi_c <= (2.0 * delta - 1.0) * dphi0)
+        )
+        accept = (~bad) & (c > 0) & (wolfe | approx)
+
+        # interval update classification (HZ update rules U1-U3 entry)
+        upd_b = (~bad) & (dphi_c >= 0)  # c is a valid high endpoint
+        upd_a = (~bad) & (~upd_b) & (phi_c <= f0 + eps_k)  # valid low endpoint
+        upd_u3 = (~bad) & (~upd_b) & (~upd_a)  # high value, negative slope
+
+        in_bracket = s.stage == _HZ_BRACKET
+        in_u3 = s.stage == _HZ_U3
+        in_sec1 = s.stage == _HZ_SECANT1
+        in_sec2 = (s.stage == _HZ_SECANT2) | (s.stage == _HZ_BISECT_G)
+
+        # --- new interval [a, b] -------------------------------------------
+        # a moves to c on upd_a (all stages); b moves to c on upd_b and on
+        # upd_u3 (U3 shrinks [a, c], so c becomes the high endpoint)
+        new_a = jnp.where(upd_a, c, s.a)
+        new_phi_a = jnp.where(upd_a, phi_c, s.phi_a)
+        new_dphi_a = jnp.where(upd_a, dphi_c, s.dphi_a)
+        new_g_a = jnp.where(upd_a, g_c, s.g_a)
+        move_b = upd_b | upd_u3
+        new_b = jnp.where(move_b, c, s.b)
+        new_phi_b = jnp.where(move_b, phi_c, s.phi_b)
+        new_dphi_b = jnp.where(move_b, dphi_c, s.dphi_b)
+
+        # --- successor stage ------------------------------------------------
+        # BRACKET: upd_b → bracketed, go secant; upd_a → keep expanding;
+        #          upd_u3 → U3 bisection on [a, c]
+        # U3:      exits to secant only when a true high endpoint (dφ ≥ 0)
+        #          appears (upd_b); otherwise keeps bisecting
+        # SECANT1: interval updated → SECANT2 (second secant); upd_u3 → U3
+        # SECANT2/BISECT_G: γ rule decides SECANT1 vs BISECT_G; upd_u3 → U3
+        bracketed = in_bracket & upd_b
+        width_new = jnp.abs(new_b - new_a)
+        gamma_ok = width_new <= gamma * jnp.abs(s.b0 - s.a0)
+        stage_next = jnp.where(
+            bad,
+            s.stage,  # retry same stage at a backtracked point
+            jnp.where(
+                in_bracket,
+                jnp.where(upd_b, _HZ_SECANT1, jnp.where(upd_a, _HZ_BRACKET, _HZ_U3)),
+                jnp.where(
+                    in_u3,
+                    jnp.where(upd_b, _HZ_SECANT1, _HZ_U3),
+                    jnp.where(
+                        upd_u3,
+                        _HZ_U3,
+                        jnp.where(
+                            in_sec1,
+                            _HZ_SECANT2,
+                            jnp.where(gamma_ok, _HZ_SECANT1, _HZ_BISECT_G),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        stage_next = jnp.where(accept, _HZ_DONE, stage_next)
+
+        # --- next evaluation point -----------------------------------------
+        mid = new_a + theta * (new_b - new_a)
+        sec = _secant(new_a, new_dphi_a, new_b, new_dphi_b)
+        # secant² second step: the side that moved defines the secant pair
+        # (old endpoint, new endpoint) — HZ steps S2/S3
+        sec2 = jnp.where(
+            upd_b,
+            _secant(s.b0, s.dphi_b0, new_b, new_dphi_b),
+            _secant(s.a0, s.dphi_a0, new_a, new_dphi_a),
+        )
+        inside = lambda t: (t > jnp.minimum(new_a, new_b)) & (
+            t < jnp.maximum(new_a, new_b)
+        )
+        sec_safe = jnp.where(inside(sec), sec, mid)
+        sec2_safe = jnp.where(inside(sec2), sec2, mid)
+        c_next = jnp.where(
+            bad,
+            s.a + 0.3 * (c - s.a),  # backtrack toward the low endpoint
+            jnp.where(
+                stage_next == _HZ_BRACKET,
+                c * expand,
+                jnp.where(
+                    stage_next == _HZ_U3,
+                    mid,
+                    jnp.where(
+                        stage_next == _HZ_SECANT2,
+                        sec2_safe,
+                        jnp.where(stage_next == _HZ_BISECT_G, mid, sec_safe),
+                    ),
+                ),
+            ),
+        )
+
+        # snapshot the interval at entry to a secant² cycle
+        enter_sec1 = (stage_next == _HZ_SECANT1) & ~in_sec1
+        a0 = jnp.where(enter_sec1, new_a, s.a0)
+        b0 = jnp.where(enter_sec1, new_b, s.b0)
+        phi_a0 = jnp.where(enter_sec1, new_phi_a, s.phi_a0)
+        dphi_a0 = jnp.where(enter_sec1, new_dphi_a, s.dphi_a0)
+        phi_b0 = jnp.where(enter_sec1, new_phi_b, s.phi_b0)
+        dphi_b0 = jnp.where(enter_sec1, new_dphi_b, s.dphi_b0)
+        # ... and refresh it when a full secant² cycle restarts
+        restart = in_sec2 & (stage_next == _HZ_SECANT1)
+        a0 = jnp.where(restart, new_a, a0)
+        b0 = jnp.where(restart, new_b, b0)
+        phi_a0 = jnp.where(restart, new_phi_a, phi_a0)
+        dphi_a0 = jnp.where(restart, new_dphi_a, dphi_a0)
+        phi_b0 = jnp.where(restart, new_phi_b, phi_b0)
+        dphi_b0 = jnp.where(restart, new_dphi_b, dphi_b0)
+
+        return _HZState(
+            stage=stage_next,
+            nev=nev,
+            c=c_next,
+            a=new_a,
+            phi_a=new_phi_a,
+            dphi_a=new_dphi_a,
+            g_a=new_g_a,
+            b=new_b,
+            phi_b=new_phi_b,
+            dphi_b=new_dphi_b,
+            a0=a0,
+            b0=b0,
+            phi_a0=phi_a0,
+            dphi_a0=dphi_a0,
+            phi_b0=phi_b0,
+            dphi_b0=dphi_b0,
+            a_acc=jnp.where(accept, c, s.a_acc),
+            phi_acc=jnp.where(accept, phi_c, s.phi_acc),
+            g_acc=jnp.where(accept, g_c, s.g_acc),
+            accepted=s.accepted | accept,
+        )
+
+    final = lax.while_loop(cond, body, init)
+
+    # exhausted budget: fall back to the low endpoint, which by invariant
+    # satisfies φ(a) ≤ φ0 + εk with φ'(a) < 0 — require strict decrease so
+    # the caller's progress accounting stays sound
+    fallback_ok = (
+        (final.a > 0) & jnp.isfinite(final.phi_a) & (final.phi_a < f0)
+    )
+    a = jnp.where(final.accepted, final.a_acc, jnp.where(fallback_ok, final.a, 0.0))
+    f = jnp.where(final.accepted, final.phi_acc, jnp.where(fallback_ok, final.phi_a, f0))
+    g = jnp.where(final.accepted, final.g_acc, jnp.where(fallback_ok, final.g_a, g0))
+    ok = final.accepted | fallback_ok
+    return LineSearchResult(
+        step_size=a, f=f, g=g, num_evals=final.nev, ok=ok,
+        exhausted=fallback_ok & ~final.accepted,
     )
 
 
@@ -309,4 +599,7 @@ def wolfe_line_search(
     f = jnp.where(final.accepted, final.phi_acc, jnp.where(fallback_ok, final.phi_lo, f0))
     g = jnp.where(final.accepted, final.g_acc, jnp.where(fallback_ok, final.g_lo, g0))
     ok = final.accepted | fallback_ok
-    return LineSearchResult(step_size=a, f=f, g=g, num_evals=final.nev, ok=ok)
+    return LineSearchResult(
+        step_size=a, f=f, g=g, num_evals=final.nev, ok=ok,
+        exhausted=fallback_ok & ~final.accepted,
+    )

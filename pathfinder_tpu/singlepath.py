@@ -79,12 +79,18 @@ class PathfinderConfig(NamedTuple):
     # targets) or "lbfgs_eval_driven" (one batched eval per loop step,
     # better when logp dominates — see ops/lbfgs_fused.py)
     optimizer: str = "lbfgs"
-    # line search: "wolfe" (strong-Wolfe bracket/zoom, the Hager-Zhang-class
-    # default) or "backtracking" (Armijo-only fallback)
-    line_search: str = "wolfe"
+    # line search: "hager_zhang" (approximate Wolfe + secant², matching the
+    # reference default LineSearches.HagerZhang, src/Pathfinder.jl:25-35),
+    # "wolfe" (strong-Wolfe bracket/zoom), or "backtracking" (Armijo-only)
+    line_search: str = "hager_zhang"
     # >0: emit a host-callback progress line every N optimizer iterations
     # (the reference's per-iteration ProgressLogging, src/optimize.jl:91-92)
     progress_every: int = 0
+    # route the Woodbury sample/logpdf hot path through the fused Pallas TPU
+    # kernels (ops/pallas/woodbury_kernels). Off by default: measured at
+    # parity with XLA's own fusion on v5e — one switch away for re-measuring
+    # (BASELINE north-star names fused Pallas kernels)
+    use_pallas: bool = False
 
 
 class SinglePathState(NamedTuple):
@@ -133,6 +139,16 @@ def pathfinder_core(
     elif cfg.optimizer == "lbfgs_eval_driven":
         from pathfinder_tpu.ops.lbfgs_fused import minimize_lbfgs_trace_fused
 
+        defaults = PathfinderConfig._field_defaults
+        if (
+            cfg.line_search not in (defaults["line_search"], "wolfe")
+            or cfg.progress_every != defaults["progress_every"]
+        ):
+            warnings.warn(
+                "optimizer='lbfgs_eval_driven' embeds its own (strong-Wolfe) "
+                "line search and has no progress hook; the line_search/"
+                "progress_every settings are ignored."
+            )
         minimize = minimize_lbfgs_trace_fused
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
@@ -170,6 +186,7 @@ def pathfinder_core(
         ndraws=cfg.ndraws_elbo,
         valid_mask=cand_valid,
         dtype=trace.xs.dtype,
+        use_pallas=cfg.use_pallas,
     )
 
     n_valid = trace.num_valid - 1
@@ -182,13 +199,17 @@ def pathfinder_core(
         lambda leaf: leaf[0], make_chunk_dists(best_idx[None])
     )
     key_winner = jax.random.fold_in(key_elbo, best_idx)
-    winner_draws, _ = fit_dist.rand_and_logpdf(key_winner, cfg.ndraws_elbo)
+    winner_draws, _ = fit_dist.rand_and_logpdf(
+        key_winner, cfg.ndraws_elbo, use_pallas=cfg.use_pallas
+    )
     if cfg.ndraws <= cfg.ndraws_elbo:
         reused = winner_draws[:, : cfg.ndraws]
     else:
-        extra = fit_dist.sample(key_extra, cfg.ndraws - cfg.ndraws_elbo)
+        extra = fit_dist.sample(
+            key_extra, cfg.ndraws - cfg.ndraws_elbo, use_pallas=cfg.use_pallas
+        )
         reused = jnp.concatenate([winner_draws, extra], axis=1)
-    fresh = fit_dist.sample(key_extra, cfg.ndraws)
+    fresh = fit_dist.sample(key_extra, cfg.ndraws, use_pallas=cfg.use_pallas)
     draws = jnp.where(success, reused, fresh)
 
     return SinglePathState(
@@ -249,6 +270,10 @@ class PathfinderResult:
     success: bool
     num_fn_evals: int
     state: SinglePathState = None
+    # the TransformedLogDensity linking unconstrained → constrained space
+    # when the run was transform-aware (BayesModel / transform= kwarg);
+    # None for plain unconstrained targets
+    transform: Any = None
 
     @property
     def fit_distributions(self) -> MvNormal:
@@ -318,22 +343,41 @@ def pathfinder(
     init_sampler: Optional[Callable] = None,
     gtol: float = 1e-8,
     dtype=None,
-    executor=None,
+    core=None,
     progress: bool = False,
+    transform=None,
     **config_overrides,
 ) -> PathfinderResult:
     """Find the ELBO-best multivariate normal approximation along an L-BFGS
     trajectory (parity: ``pathfinder``, ``src/singlepath.jl:85-257``).
 
-    ``fn`` may be a callable ``logp(x)``, a :class:`LogDensity`, or any
-    object with ``logp``/``dim`` attributes. Keyword parity with the
-    reference: ``dim``/``init``, ``init_scale``/``init_sampler``,
-    ``ndraws_elbo`` (default 5), ``ndraws``, ``history_length`` (default 6),
-    ``ntries`` (default 1000), ``maxiters`` (default 1000). ``key`` replaces
-    the reference's ``rng``. The reference's ``ntasks`` has no analog —
+    ``fn`` may be a callable ``logp(x)``, a :class:`LogDensity`, any object
+    with ``logp``/``dim`` attributes, a
+    :class:`~pathfinder_tpu.models.bayes.BayesModel`, or a
+    ``TransformedLogDensity``. Keyword parity with the reference:
+    ``dim``/``init``, ``init_scale``/``init_sampler``, ``ndraws_elbo``
+    (default 5), ``ndraws``, ``history_length`` (default 6), ``ntries``
+    (default 1000), ``maxiters`` (default 1000). ``key`` replaces the
+    reference's ``rng``. The reference's ``ntasks`` has no analog —
     candidate evaluation is always batched.
+
+    ``transform`` (the Turing-extension analog, ``ext/PathfinderTuringExt.jl``)
+    links a constrained-space target: pass a bijector (then ``fn`` is the
+    *constrained* log density) or a ``TransformedLogDensity``. Optimization
+    runs in unconstrained space with the Jacobian correction; ``init`` /
+    ``init_sampler`` operate in *unconstrained* space (use
+    ``BayesModel.init_from_params`` / ``init_from_prior`` for the
+    constrained-space init strategies); ``result.draws_transformed`` holds
+    constrained draws (a named chain dict with per-draw logprior /
+    loglikelihood / logjoint when ``fn`` is a model).
     """
-    target = as_log_density(fn, dim=dim, grad=grad)
+    from pathfinder_tpu.integrations.transforms import (
+        resolve_transform,
+        transformed_outputs,
+    )
+
+    target_input, tld = resolve_transform(fn, transform, dim=dim)
+    target = as_log_density(target_input, dim=dim, grad=grad)
     if ndraws is None:
         ndraws = ndraws_elbo
     if init is not None:
@@ -361,7 +405,11 @@ def pathfinder(
         **config_overrides,
     )
 
-    core = executor or pathfinder_core
+    # ``core`` is a SINGLE-path attempt with the pathfinder_core signature
+    # ``core(key, x0, target, config) -> SinglePathState`` — NOT the batched
+    # executor from make_path_executor (that contract takes (K,)-leading
+    # arrays and belongs to multipathfinder).
+    core = core or pathfinder_core
 
     # retry loop (parity: _pathfinder_try_until_succeed,
     # src/singlepath.jl:259-283): host-side, bounded, re-drawing the init
@@ -400,6 +448,9 @@ def pathfinder(
             "rejected to keep it positive definite."
         )
 
+    draws_t, fit_t = transformed_outputs(
+        tld, fn, state.draws, state.fit_distribution
+    )
     return PathfinderResult(
         input=fn,
         config=config,
@@ -407,8 +458,8 @@ def pathfinder(
         logp=target.logp,
         fit_distribution=state.fit_distribution,
         draws=state.draws,
-        fit_distribution_transformed=state.fit_distribution,
-        draws_transformed=state.draws,
+        fit_distribution_transformed=fit_t,
+        draws_transformed=draws_t,
         fit_iteration=int(state.fit_iteration),
         num_tries=itry,
         optim_trace=state.trace,
@@ -418,4 +469,5 @@ def pathfinder(
         success=success,
         num_fn_evals=int(state.num_fn_evals),
         state=state,
+        transform=tld,
     )

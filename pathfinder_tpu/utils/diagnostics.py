@@ -38,16 +38,19 @@ def _split_chains(x):
 
 def _rank_normalize(x):
     """Rank-normalize over ALL entries of ``x`` (any shape), preserving
-    shape: rank r → Φ⁻¹((r − 3/8)/(S + 1/4))."""
+    shape: rank r → Φ⁻¹((r − 3/8)/(S + 1/4)).
+
+    Ties get *average* ranks (the Vehtari et al. / ArviZ convention), so the
+    diagnostics are permutation-invariant for discrete or heavily tied
+    chains: rank(x) = (#{< x} + #{≤ x} + 1) / 2 via two searchsorted passes.
+    """
     shape = x.shape
     flat = x.reshape(-1)
     S = flat.shape[0]
-    order = jnp.argsort(flat)
-    ranks = (
-        jnp.zeros(S, x.dtype)
-        .at[order]
-        .set(jnp.arange(1, S + 1, dtype=x.dtype))
-    )
+    sorted_flat = jnp.sort(flat)
+    lo = jnp.searchsorted(sorted_flat, flat, side="left")
+    hi = jnp.searchsorted(sorted_flat, flat, side="right")
+    ranks = 0.5 * (lo + hi + 1).astype(x.dtype)
     z = ndtri((ranks - 0.375) / (S + 0.25))
     return z.reshape(shape)
 

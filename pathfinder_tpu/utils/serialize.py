@@ -95,7 +95,7 @@ def _encode(obj, arrays: dict, counter: list):
     return {"skip": repr(type(obj))}
 
 
-def _decode(meta, arrays, rebind: dict):
+def _decode(meta, arrays, rebind: dict, unbound: set):
     if "lit" in meta:
         return meta["lit"]
     if "arr" in meta:
@@ -103,15 +103,19 @@ def _decode(meta, arrays, rebind: dict):
     if "key" in meta:
         return jax.random.wrap_key_data(jnp.asarray(arrays[meta["key"]]))
     if "seq" in meta:
-        vals = [_decode(v, arrays, rebind) for v in meta["seq"]]
+        vals = [_decode(v, arrays, rebind, unbound) for v in meta["seq"]]
         return tuple(vals) if meta.get("tuple") else vals
     if "skip" in meta:
         return None
     if "type" in meta:
         cls = TYPE_REGISTRY()[meta["type"]]
         fields = {
-            k: _decode(v, arrays, rebind) for k, v in meta["fields"].items()
+            k: _decode(v, arrays, rebind, unbound)
+            for k, v in meta["fields"].items()
         }
+        for k, v in meta["fields"].items():
+            if "skip" in v and fields[k] is None and k not in rebind:
+                unbound.add(f"{meta['type']}.{k}")
         for k, v in rebind.items():
             if k in fields and fields[k] is None:
                 fields[k] = v
@@ -146,4 +150,14 @@ def load_result(path: str, fn=None):
 
         target = as_log_density(fn)
         rebind = {"logp": target.logp, "target": target, "input": fn}
-    return _decode(meta, data, rebind)
+    unbound: set = set()
+    result = _decode(meta, data, rebind, unbound)
+    if unbound:
+        import warnings
+
+        warnings.warn(
+            "load_result: callable fields were not serialized and were not "
+            f"re-bound: {sorted(unbound)}. Pass `fn=` (the original target) "
+            "to restore them, or resample()/elbo_estimates will fail."
+        )
+    return result

@@ -61,6 +61,41 @@ def test_metric_matches_dense():
     np.testing.assert_allclose(emp_cov, M_dense, atol=0.05, rtol=0.1)
 
 
+def test_warm_start_exports():
+    """External-sampler warm-start adapters (the role of
+    ``ext/PathfinderAdvancedHMCExt.jl:17-23``): the exported inverse mass
+    matrix is the dense fit covariance, and the blackjax Metric (when
+    blackjax is available) draws momenta with covariance M = W⁻¹."""
+    rng = np.random.default_rng(3)
+    metric, W_dense = make_metric(rng)
+
+    # dense export: numpyro-style inverse mass matrix == W
+    imm = np.asarray(metric.to_numpyro_mass_matrix())
+    np.testing.assert_allclose(imm, W_dense, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(metric.to_inverse_mass_matrix()), W_dense, rtol=1e-6, atol=1e-9
+    )
+
+    try:
+        import blackjax  # noqa: F401
+
+        bj = metric.to_blackjax()
+        keys = jax.random.split(jax.random.key(2), 100_000)
+        ps = jax.vmap(bj.sample_momentum)(keys)
+        emp_cov = np.cov(np.asarray(ps).T)
+        np.testing.assert_allclose(
+            emp_cov, np.linalg.inv(W_dense), atol=0.05, rtol=0.15
+        )
+        p = jnp.asarray(rng.standard_normal(6))
+        np.testing.assert_allclose(
+            float(bj.kinetic_energy(p)), 0.5 * np.asarray(p) @ W_dense @ np.asarray(p),
+            rtol=1e-6,
+        )
+    except ImportError:
+        with pytest.raises(ImportError, match="BlackJAX"):
+            metric.to_blackjax()
+
+
 def test_leapfrog_energy_conservation():
     d = 4
     target = StandardNormal(d)

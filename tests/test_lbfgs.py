@@ -211,6 +211,68 @@ def test_nonfinite_abort():
     assert np.all(np.isfinite(np.asarray(trace1.log_densities[:n1])))
 
 
+def test_should_abort_nonfinite_truth_table():
+    """Truth table of the reference callback's abort rule
+    (``test/optimize.jl:52-94``): abort iff ``fail_on_nonfinite`` and
+    (isnan(logp) or logp == +Inf or any gradient entry non-finite);
+    logp == -Inf does NOT abort."""
+    from pathfinder_tpu.ops.lbfgs import should_abort_nonfinite
+
+    check_vals = [0.0, np.nan, -np.inf, np.inf]
+    for flag in [True, False]:
+        for fval in check_vals:
+            for gval in check_vals:
+                g = jnp.asarray([1.0, -2.0, gval])
+                expected = flag and (
+                    np.isnan(fval) or fval == np.inf or not np.isfinite(gval)
+                )
+                got = bool(should_abort_nonfinite(jnp.asarray(fval), g, flag))
+                assert got == expected, (flag, fval, gval)
+
+
+def test_fail_on_nonfinite_flag_behavior():
+    """fail_on_nonfinite=True stops at a NaN start after the single initial
+    evaluation; False keeps trying (reference: the solve flounders on) but
+    ends with the same 1-point trace."""
+
+    def logp(x):
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(x[0] < 1.0, jnp.nan, clean)
+
+    vg = jax.value_and_grad(logp)
+    x0 = jnp.asarray([0.5, 0.5])  # NaN region
+    tr_true = minimize_lbfgs_trace(vg, x0, maxiters=50, fail_on_nonfinite=True)
+    tr_false = minimize_lbfgs_trace(vg, x0, maxiters=50, fail_on_nonfinite=False)
+    assert int(tr_true.num_valid) == 1
+    assert int(tr_false.num_valid) == 1
+    assert int(tr_true.num_fn_evals) == 1  # aborted before any line search
+    assert int(tr_false.num_fn_evals) > 1  # attempted a (futile) step
+
+
+def test_neg_inf_logp_start_is_tolerated():
+    """logp == -Inf at the start does not abort (reference rule: fval==-Inf
+    is allowed) — the optimizer climbs out of the zero-density region."""
+
+    def logp(x):
+        lp = -0.5 * jnp.sum(x * x)
+        return jnp.where(x[0] < 0.0, -jnp.inf, lp)
+
+    def vg(x):
+        lp = logp(x)
+        # finite gradient pointing back into the support
+        g = jnp.where(x[0] < 0.0, jnp.asarray([1.0, 0.0]), -x)
+        return lp, g
+
+    # start close enough to the boundary that the first trial step crosses
+    # it (non-finite *trials* backtrack, in the reference's Hager-Zhang too,
+    # so a deep -Inf start cannot escape — only a near-boundary one can)
+    x0 = jnp.asarray([-0.001, 0.3])
+    trace = minimize_lbfgs_trace(vg, x0, maxiters=50, fail_on_nonfinite=True)
+    n = int(trace.num_valid)
+    assert n > 1, "optimization should escape the -Inf region"
+    assert np.isfinite(float(trace.log_densities[n - 1]))
+
+
 def test_wolfe_line_search_conditions():
     def f_np(a):
         return a**4 - 3 * a**2 + a  # nonconvex 1-D
@@ -231,6 +293,58 @@ def test_wolfe_line_search_conditions():
     assert f_np(-a * float(jnp.sign(g0[0]))) <= float(f0) + 1e-4 * a * dphi0
     fa, ga = vg(x + a * p)
     assert abs(float(ga @ p)) <= -0.9 * dphi0 + 1e-12
+
+
+def test_hager_zhang_line_search_conditions():
+    """Accepted HZ steps satisfy standard weak Wolfe OR approximate Wolfe
+    (HZ 2005 eq. 4.1) with δ=0.1, σ=0.9 — the reference's default search
+    (``src/Pathfinder.jl:25-35``)."""
+    from pathfinder_tpu.ops.linesearch import hager_zhang_line_search
+
+    def vg(x):
+        val = x[0] ** 4 - 3 * x[0] ** 2 + x[0]
+        grad = jnp.asarray([4 * x[0] ** 3 - 6 * x[0] + 1])
+        return val, grad
+
+    delta, sigma = 0.1, 0.9
+    for start in [0.0, 0.4, -0.3]:
+        x = jnp.asarray([start])
+        f0, g0 = vg(x)
+        p = -jnp.sign(g0) * jnp.ones(1)
+        res = hager_zhang_line_search(
+            vg, x, f0, g0, p, jnp.asarray(1.0), c1=delta, c2=sigma
+        )
+        assert bool(res.ok), start
+        a = float(res.step_size)
+        dphi0 = float(g0 @ p)
+        fa, ga = vg(x + a * p)
+        dphi_a = float(ga @ p)
+        wolfe = (float(fa) <= float(f0) + delta * a * dphi0 + 1e-12) and (
+            dphi_a >= sigma * dphi0 - 1e-12
+        )
+        approx = (
+            float(fa) <= float(f0) + 1e-6 * abs(float(f0)) + 1e-12
+            and sigma * dphi0 - 1e-12 <= dphi_a <= (2 * delta - 1) * dphi0 + 1e-12
+        )
+        assert wolfe or approx, (start, a, dphi_a, dphi0)
+
+
+@pytest.mark.parametrize("line_search", ["hager_zhang", "wolfe"])
+def test_line_search_trajectory_quality(line_search):
+    """Both searches drive L-BFGS to the optimum of an ill-conditioned
+    quadratic within the eval budget; curvature pairs are accepted (no
+    PD-guard rejections) — the quality property that matters for the fits."""
+    scales = jnp.asarray([1.0, 10.0, 100.0, 0.1, 5.0])
+
+    def vg(x):
+        return -0.5 * jnp.sum(scales * x * x), -scales * x
+
+    x0 = jnp.ones(5)
+    tr = minimize_lbfgs_trace(vg, x0, maxiters=100, line_search=line_search)
+    n = int(tr.num_valid)
+    assert float(tr.log_densities[n - 1]) > -1e-10
+    assert int(tr.num_bfgs_updates_rejected) == 0
+    assert int(tr.num_ls_exhausted) == 0
 
 
 def test_batched_minimize_under_vmap():

@@ -9,7 +9,9 @@ from pathfinder_tpu.ops.lbfgs_fused import minimize_lbfgs_trace_fused
 
 
 def _compare(vg, x0, **kw):
-    a = minimize_lbfgs_trace(vg, x0, **kw)
+    # the fused optimizer embeds the strong-Wolfe search; pin the nested
+    # one to the same search (its default is now hager_zhang)
+    a = minimize_lbfgs_trace(vg, x0, line_search="wolfe", **kw)
     b = minimize_lbfgs_trace_fused(vg, x0, **kw)
     assert int(a.num_valid) == int(b.num_valid)
     n = int(a.num_valid)

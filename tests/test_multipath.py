@@ -130,6 +130,31 @@ def test_multipath_retry_rounds():
     assert np.all(np.isfinite(np.asarray(res.draws)))
 
 
+def test_retry_rounds_ride_the_mesh_deterministically():
+    """Retry rounds reuse the sharded executor; draws from a sharded run
+    with forced failures are bit-identical to the unsharded run (extends
+    the mesh-determinism contract to the retry path)."""
+
+    def logp(x):
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
+
+    kw = dict(
+        dim=2, key=jax.random.key(12), nruns=6, init_scale=8.0,
+        ntries=400, maxiters=30,
+    )
+    r_none = multipathfinder(logp, 100, **kw)
+    mesh4 = paths_mesh(jax.devices()[:4])
+    r_mesh = multipathfinder(logp, 100, mesh=mesh4, **kw)
+    assert np.asarray(r_none.num_tries).max() > 1  # retries actually fired
+    np.testing.assert_array_equal(
+        np.asarray(r_none.num_tries), np.asarray(r_mesh.num_tries)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_none.draws), np.asarray(r_mesh.draws), rtol=0, atol=1e-12
+    )
+
+
 def test_more_draws_than_pool_warns():
     with pytest.warns(UserWarning, match="More draws requested"):
         run_multi(ndraws=100, nruns=2, ndraws_per_run=10)

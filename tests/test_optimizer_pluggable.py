@@ -11,10 +11,14 @@ from pathfinder_tpu.singlepath import pathfinder
 
 def test_eval_driven_optimizer_option():
     target = StandardNormal(4)
-    r1 = pathfinder(target, key=jax.random.key(0), maxiters=30)
+    # the fused optimizer embeds the strong-Wolfe search; pin the nested one
+    # to the same search for the trajectory-equality check
+    r1 = pathfinder(
+        target, key=jax.random.key(0), maxiters=30, line_search="wolfe"
+    )
     r2 = pathfinder(
         target, key=jax.random.key(0), maxiters=30,
-        optimizer="lbfgs_eval_driven",
+        optimizer="lbfgs_eval_driven", line_search="wolfe",
     )
     assert r1.success and r2.success
     np.testing.assert_allclose(

@@ -1,32 +1,368 @@
-"""PPL bridge tests (NumPyro parts skip when NumPyro is absent)."""
+"""PPL-integration tests — the executable port of the reference's Turing
+extension test strategy (``test/integration/Turing/runtests.jl``):
+
+* Jacobian correctness of the linked density vs an autodiff determinant
+  (``:43-64``);
+* chain conversion with constraint satisfaction + per-draw
+  logprior/loglikelihood/logjoint stats (``:66-97``);
+* posterior recovery on a conjugate model;
+* init-strategy plumbing (``:242-331``);
+* ``resample`` re-transformation round trip
+  (``ext/PathfinderTuringExt.jl:280-286``).
+
+The model object is the in-repo :class:`BayesModel` (the DynamicPPL-model
+analog), so everything executes without an external PPL. ``from_numpyro``
+is exercised against a minimal mock implementing the exact
+``initialize_model`` contract the adapter relies on (and against real
+NumPyro when installed).
+"""
+
+import sys
+import types
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from pathfinder_tpu.integrations.ppl import (
-    draws_to_dict,
-    from_numpyro,
-    to_inference_data,
+from pathfinder_tpu import multipathfinder, pathfinder
+from pathfinder_tpu.integrations.transforms import (
+    Exp,
+    Interval,
+    Stacked,
+    TransformedDistribution,
+    TransformedLogDensity,
 )
-from pathfinder_tpu.integrations.transforms import Exp, TransformedLogDensity
-from pathfinder_tpu.models import StandardNormal
-from pathfinder_tpu.singlepath import pathfinder
+from pathfinder_tpu.models.bayes import (
+    BayesModel,
+    Beta,
+    Exponential,
+    HalfNormal,
+    LogNormal,
+    Normal,
+    StudentT,
+    Uniform,
+)
+from pathfinder_tpu.multipath import resample
 
-numpyro = pytest.importorskip("numpyro", reason="NumPyro not installed")
+
+@pytest.fixture(scope="module")
+def gauss_model():
+    """Conjugate-ish location/scale model with observed data."""
+    data = jnp.asarray([1.2, 0.8, 1.1, 0.9, 1.0, 1.3])
+
+    def loglik(p):
+        return jnp.sum(
+            -0.5 * ((data - p["mu"]) / p["sigma"]) ** 2 - jnp.log(p["sigma"])
+        )
+
+    return BayesModel({"mu": Normal(0.0, 10.0), "sigma": HalfNormal(2.0)}, loglik), data
 
 
-def test_from_numpyro_end_to_end():
+def test_prior_log_probs_match_scipy():
+    """Elementwise prior densities vs scipy (the numerical ground truth)."""
+    import scipy.stats as st
+
+    x = np.asarray([0.3, 1.7, 0.9])
+    checks = [
+        (Normal(0.5, 2.0), st.norm(0.5, 2.0)),
+        (HalfNormal(1.5), st.halfnorm(scale=1.5)),
+        (LogNormal(0.2, 0.7), st.lognorm(s=0.7, scale=np.exp(0.2))),
+        (Exponential(1.3), st.expon(scale=1 / 1.3)),
+        (Uniform(0.0, 2.0), st.uniform(0.0, 2.0)),
+        (StudentT(4.0, 0.1, 1.2), st.t(4.0, loc=0.1, scale=1.2)),
+    ]
+    for dist, ref in checks:
+        np.testing.assert_allclose(
+            np.asarray(dist.log_prob(jnp.asarray(x))),
+            ref.logpdf(x),
+            rtol=1e-6,
+            err_msg=repr(dist),
+        )
+    xb = np.asarray([0.2, 0.5, 0.9])
+    np.testing.assert_allclose(
+        np.asarray(Beta(2.0, 3.0).log_prob(jnp.asarray(xb))),
+        st.beta(2.0, 3.0).logpdf(xb),
+        rtol=1e-6,
+    )
+
+
+def test_linked_density_jacobian_correctness():
+    """Unconstrained logp == constrained logp + log|det J| with the
+    Jacobian determinant computed by autodiff (reference Jacobian test,
+    ``test/integration/Turing/runtests.jl:43-64``)."""
+    model = BayesModel(
+        {
+            "a": Normal(1.0, 2.0),
+            "b": HalfNormal(1.5),
+            "c": (Uniform(-1.0, 3.0), 2),
+            "d": Beta(2.0, 2.0),
+        }
+    )
+    tld = model.transformed
+    z = jnp.asarray([0.3, -0.7, 0.2, 1.1, -0.4])
+    J = jax.jacobian(model.bijector.forward)(z)
+    logdet_ad = jnp.linalg.slogdet(J)[1]
+    lp_unc = tld.unconstrained.logp(z)
+    lp_con = model.constrained_logp(model.bijector.forward(z))
+    np.testing.assert_allclose(
+        float(lp_unc), float(lp_con + logdet_ad), rtol=1e-10
+    )
+    # round trip
+    x = model.bijector.forward(z)
+    np.testing.assert_allclose(
+        np.asarray(model.bijector.inverse(x)), np.asarray(z), rtol=1e-8
+    )
+
+
+def test_pathfinder_on_model_end_to_end(gauss_model):
+    model, data = gauss_model
+    res = pathfinder(model, key=jax.random.key(0), ndraws=500, maxiters=60)
+    assert res.success
+    assert res.transform is not None
+    ch = res.draws_transformed
+    # named constrained draws + per-draw stats (ParamsWithStats analog)
+    assert set(ch) == {"mu", "sigma", "logprior", "loglikelihood", "logjoint"}
+    assert np.all(np.asarray(ch["sigma"]) > 0)
+    assert abs(float(jnp.mean(ch["mu"])) - float(data.mean())) < 0.3
+    np.testing.assert_allclose(
+        np.asarray(ch["logjoint"]),
+        np.asarray(ch["logprior"] + ch["loglikelihood"]),
+        rtol=1e-6,
+    )
+    # stats recompute correctly for one draw
+    z0 = res.draws[:, 0]
+    params = model.split(model.bijector.forward(z0))
+    np.testing.assert_allclose(
+        float(ch["logprior"][0]), float(model.logprior(params)), rtol=1e-6
+    )
+
+
+def test_fit_distribution_transformed_is_consistent(gauss_model):
+    """Pushforward logpdf satisfies the change of variables and sampling
+    lands in the constrained support."""
+    model, _ = gauss_model
+    res = pathfinder(model, key=jax.random.key(1), ndraws=50, maxiters=60)
+    ft = res.fit_distribution_transformed
+    assert isinstance(ft, TransformedDistribution)
+    x = ft.sample(jax.random.key(2), 64)
+    assert x.shape == (2, 64)
+    assert np.all(np.asarray(x[1]) > 0)  # sigma support
+    # change of variables: logpdf_x(x) = logpdf_z(z) - log|det J(z)|
+    z = jax.vmap(model.bijector.inverse, in_axes=1, out_axes=1)(x)
+    ld = jax.vmap(lambda zc: jnp.sum(model.bijector.forward_log_det(zc)), in_axes=1)(z)
+    np.testing.assert_allclose(
+        np.asarray(ft.logpdf(x)),
+        np.asarray(res.fit_distribution.logpdf(z) - ld),
+        rtol=1e-6,
+    )
+
+
+def test_multipath_and_resample_retransform(gauss_model):
+    """Transformed multipath → resample round trip: resample re-derives the
+    constrained chain on the fresh draws (parity:
+    ``ext/PathfinderTuringExt.jl:280-286``)."""
+    model, _ = gauss_model
+    res = multipathfinder(
+        model, 400, key=jax.random.key(3), nruns=4, maxiters=60, ntries=8
+    )
+    assert res.transform is not None
+    assert np.all(np.asarray(res.draws_transformed["sigma"]) > 0)
+    r2 = resample(res, 120)
+    ch2 = r2.draws_transformed
+    assert ch2["mu"].shape == (120,)
+    assert set(ch2) == {"mu", "sigma", "logprior", "loglikelihood", "logjoint"}
+    # the constrained draws correspond to the new unconstrained draws
+    np.testing.assert_allclose(
+        np.asarray(ch2["sigma"]),
+        np.asarray(jnp.exp(r2.draws[1])),
+        rtol=1e-6,
+    )
+    # per-path views are transformed too (ext/PathfinderTuringExt.jl:269-277)
+    pr = res.path_result(0)
+    assert set(pr.draws_transformed) >= {"mu", "sigma"}
+
+
+def test_posterior_recovery_conjugate():
+    """Known-sigma normal model: posterior of mu is analytic; Pathfinder
+    must recover it (the reference's exact-recovery strategy,
+    ``test/integration/Turing/runtests.jl:179-204``)."""
+    data = np.asarray([0.5, 1.5, 1.0, 0.7, 1.3, 0.9, 1.1, 1.0])
+    sigma = 1.0
+    tau0 = 3.0  # prior sd of mu
+
+    def loglik(p):
+        return jnp.sum(-0.5 * ((jnp.asarray(data) - p["mu"]) / sigma) ** 2)
+
+    model = BayesModel({"mu": Normal(0.0, tau0)}, loglik)
+    n = len(data)
+    post_var = 1.0 / (1.0 / tau0**2 + n / sigma**2)
+    post_mean = post_var * (data.sum() / sigma**2)
+    res = pathfinder(model, key=jax.random.key(4), ndraws=4000, maxiters=50)
+    mu_draws = np.asarray(res.draws_transformed["mu"])
+    assert abs(mu_draws.mean() - post_mean) < 4 * np.sqrt(post_var / 4000) + 0.02
+    np.testing.assert_allclose(mu_draws.var(), post_var, rtol=0.15)
+
+
+def test_init_strategies(gauss_model):
+    """init_from_params / init_from_prior plumbing (parity:
+    ``ext/PathfinderTuringExt.jl:50-96``)."""
+    model, _ = gauss_model
+    # fixed mu, sigma drawn from the prior; result is an unconstrained point
+    z = model.init_from_params({"mu": 0.5}, key=jax.random.key(5))
+    assert z.shape == (2,)
+    x = model.bijector.forward(z)
+    np.testing.assert_allclose(float(x[0]), 0.5, rtol=1e-6)
+    assert float(x[1]) > 0
+    # fully fixed init is deterministic w.r.t. the named params
+    z2 = model.init_from_params({"mu": 0.5, "sigma": 1.7})
+    np.testing.assert_allclose(
+        np.asarray(model.bijector.forward(z2)), [0.5, 1.7], rtol=1e-6
+    )
+    res = pathfinder(model, key=jax.random.key(6), init=z2, maxiters=50)
+    assert res.success
+    # prior init sampler drives the retry machinery
+    res2 = pathfinder(
+        model,
+        key=jax.random.key(7),
+        init_sampler=model.init_from_prior(),
+        maxiters=50,
+    )
+    assert res2.success
+    # multipath accepts explicit per-run unconstrained inits
+    inits = jnp.stack(
+        [model.init_from_params({"mu": m}, key=jax.random.key(8)) for m in (-1.0, 0.0, 1.0)]
+    )
+    res3 = multipathfinder(
+        model, 100, key=jax.random.key(9), init=inits, maxiters=50, ntries=4
+    )
+    assert res3.nruns == 3
+
+
+def test_transform_kwarg_with_bare_bijector():
+    """pathfinder(fn_constrained, transform=bijector): fn is the
+    constrained-space density, linked internally."""
+
+    def logp_constrained(x):  # Gamma-ish positive-support density
+        return jnp.sum(2.0 * jnp.log(x) - x)
+
+    res = pathfinder(
+        logp_constrained,
+        key=jax.random.key(10),
+        dim=3,
+        transform=Stacked(((Exp(), 3),)),
+        ndraws=200,
+        maxiters=60,
+    )
+    assert res.success
+    assert np.all(np.asarray(res.draws_transformed) > 0)
+    # mode of Gamma(3, 1) is 2; draws center near mean 3
+    assert abs(float(res.draws_transformed.mean()) - 3.0) < 1.0
+
+
+def test_transformed_log_density_direct():
+    """Passing a TransformedLogDensity as fn works and sets the hook."""
+
+    def logp_constrained(x):
+        return jnp.sum(-x + jnp.log(x))
+
+    tld = TransformedLogDensity(
+        logp_constrained=logp_constrained, bijector=Stacked(((Exp(), 2),)), dim=2
+    )
+    res = pathfinder(tld, key=jax.random.key(11), ndraws=100, maxiters=50)
+    assert res.transform is tld
+    assert np.all(np.asarray(res.draws_transformed) > 0)
+
+
+# ---------------------------------------------------------------------------
+# from_numpyro adapter
+# ---------------------------------------------------------------------------
+
+
+def _install_fake_numpyro(monkeypatch):
+    """A minimal stand-in for ``numpyro.infer.util.initialize_model``
+    implementing exactly the contract the adapter relies on (ModelInfo with
+    ``param_info.z`` unconstrained dict, ``potential_fn`` over that dict,
+    ``postprocess_fn`` mapping it to constrained sites; ``dynamic_args=False``).
+    This pins the adapter's *plumbing*; the real-NumPyro test below runs when
+    the package is installed."""
+    from collections import namedtuple
+
+    ModelInfo = namedtuple(
+        "ModelInfo", ["param_info", "potential_fn", "postprocess_fn", "model_trace"]
+    )
+    ParamInfo = namedtuple("ParamInfo", ["z", "potential_energy", "z_grad"])
+
+    data = jnp.asarray([1.2, 0.8, 1.1, 0.9, 1.0, 1.3])
+
+    def initialize_model(rng_key, model, model_args=(), model_kwargs=None,
+                         dynamic_args=False):
+        assert not dynamic_args
+        # the "model" callable is ignored by the fake; the linked density of
+        # the location/scale model is hard-wired
+        z0 = {"mu": jnp.asarray(0.1), "log_sigma": jnp.asarray(0.0)}
+
+        def potential_fn(z):
+            mu, ls = z["mu"], z["log_sigma"]
+            sigma = jnp.exp(ls)
+            lp = (
+                -0.5 * (mu / 10.0) ** 2
+                - 0.5 * (sigma / 2.0) ** 2
+                + ls  # Jacobian of exp link
+                + jnp.sum(-0.5 * ((data - mu) / sigma) ** 2 - ls)
+            )
+            return -lp
+
+        def postprocess_fn(z):
+            return {"mu": z["mu"], "sigma": jnp.exp(z["log_sigma"])}
+
+        return ModelInfo(ParamInfo(z0, None, None), potential_fn, postprocess_fn, {})
+
+    fake_util = types.ModuleType("numpyro.infer.util")
+    fake_util.initialize_model = initialize_model
+    fake_infer = types.ModuleType("numpyro.infer")
+    fake_infer.util = fake_util
+    fake_numpyro = types.ModuleType("numpyro")
+    fake_numpyro.infer = fake_infer
+    monkeypatch.setitem(sys.modules, "numpyro", fake_numpyro)
+    monkeypatch.setitem(sys.modules, "numpyro.infer", fake_infer)
+    monkeypatch.setitem(sys.modules, "numpyro.infer.util", fake_util)
+    return data
+
+
+def test_from_numpyro_plumbing_with_mock(monkeypatch):
+    try:
+        import numpyro  # noqa: F401
+
+        pytest.skip("real NumPyro installed; mock test unnecessary")
+    except ImportError:
+        pass
+    data = _install_fake_numpyro(monkeypatch)
+    from pathfinder_tpu.integrations.ppl import from_numpyro
+
+    nt = from_numpyro(lambda: None)
+    assert nt.target.dim == 2
+    res = pathfinder(nt.target, key=jax.random.key(0), ndraws=300, maxiters=60)
+    assert res.success
+    con = nt.constrain_draws(res.draws)
+    assert set(con) == {"mu", "sigma"}
+    assert con["mu"].shape == (300,)
+    assert np.all(np.asarray(con["sigma"]) > 0)
+    assert abs(float(jnp.mean(con["mu"])) - float(data.mean())) < 0.3
+
+
+def test_from_numpyro_real():
+    numpyro = pytest.importorskip("numpyro", reason="NumPyro not installed")
     import numpyro.distributions as dist
-    import numpyro as npy
+
+    from pathfinder_tpu.integrations.ppl import from_numpyro
 
     data = jnp.asarray([1.2, 0.8, 1.1, 0.9, 1.0, 1.3])
 
     def model(y):
-        mu = npy.sample("mu", dist.Normal(0.0, 10.0))
-        sigma = npy.sample("sigma", dist.HalfNormal(2.0))
-        npy.sample("y", dist.Normal(mu, sigma), obs=y)
+        mu = numpyro.sample("mu", dist.Normal(0.0, 10.0))
+        sigma = numpyro.sample("sigma", dist.HalfNormal(2.0))
+        numpyro.sample("y", dist.Normal(mu, sigma), obs=y)
 
     nt = from_numpyro(model, data)
     assert nt.target.dim == 2
