@@ -49,8 +49,11 @@ def CorrelatedGaussian(dim: int, rho: float = 0.8, seed: int = 0) -> LogDensity:
     cov = Q @ np.diag(lam) @ Q.T
     prec = np.linalg.inv(cov)
     _, ld = np.linalg.slogdet(cov)
-    mu_j = jnp.asarray(mu)
-    prec_j = jnp.asarray(prec)
+    # constants stay host-side numpy: device-resident jax.Array constants
+    # force a device->host fetch at every cold MLIR lowering (seconds over
+    # the remote-TPU tunnel, minutes if the chip is mid-recovery)
+    mu_j = mu
+    prec_j = prec
     const = -0.5 * (dim * _LOG_2PI + ld)
 
     def logp(x):
@@ -122,7 +125,9 @@ def HierarchicalGaussian(dim: int = 1000, seed: int = 0) -> LogDensity:
     coordinate controlling the variance of dim−1 locals (funnel-like but
     milder), non-centered parameterization."""
     rng = np.random.default_rng(seed)
-    obs = jnp.asarray(rng.standard_normal(dim - 1))
+    # host-side numpy on purpose (see CorrelatedGaussian): jit embeds the
+    # constant without a device round trip at lowering time
+    obs = rng.standard_normal(dim - 1)
 
     def logp(z):
         log_tau, theta = z[0], z[1:]
