@@ -64,6 +64,9 @@ class PathfinderConfig(NamedTuple):
     ndraws_elbo: int = 5
     ndraws: int = 5
     gtol: float = 1e-8
+    # relative objective-progress stop in ulp units (see
+    # minimize_lbfgs_trace); <= 0 disables
+    ftol: float = 10.0
     epsilon_curvature: float = 1e-12
     max_ls_evals: int = 12
     c1: float = 1e-4
@@ -75,9 +78,11 @@ class PathfinderConfig(NamedTuple):
     # bench going 64->8)
     # trajectory optimizer (the reference accepts any Optimization.jl
     # optimizer, src/singlepath.jl:120-123; here the pluggable axis is the
-    # loop structure): "lbfgs" (nested line-search loops, fastest for cheap
-    # targets) or "lbfgs_eval_driven" (one batched eval per loop step,
-    # better when logp dominates — see ops/lbfgs_fused.py)
+    # loop structure). Only "lbfgs" ships: an eval-driven alternative
+    # ("one batched eval per loop step") was built and benchmarked in
+    # rounds 1-2 — at most 1-4% faster even on an expensive logp
+    # (logreg n=50k: 58.3 vs 59.1 ms) — and was removed as not worth its
+    # 391 LoC; see NOTES.md
     optimizer: str = "lbfgs"
     # line search: "hager_zhang" (approximate Wolfe + secant², matching the
     # reference default LineSearches.HagerZhang, src/Pathfinder.jl:25-35),
@@ -136,20 +141,6 @@ def pathfinder_core(
 
     if cfg.optimizer == "lbfgs":
         minimize = minimize_lbfgs_trace
-    elif cfg.optimizer == "lbfgs_eval_driven":
-        from pathfinder_tpu.ops.lbfgs_fused import minimize_lbfgs_trace_fused
-
-        defaults = PathfinderConfig._field_defaults
-        if (
-            cfg.line_search not in (defaults["line_search"], "wolfe")
-            or cfg.progress_every != defaults["progress_every"]
-        ):
-            warnings.warn(
-                "optimizer='lbfgs_eval_driven' embeds its own (strong-Wolfe) "
-                "line search and has no progress hook; the line_search/"
-                "progress_every settings are ignored."
-            )
-        minimize = minimize_lbfgs_trace_fused
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
@@ -159,6 +150,7 @@ def pathfinder_core(
         maxiters=cfg.maxiters,
         history_length=cfg.history_length,
         gtol=cfg.gtol,
+        ftol=cfg.ftol,
         epsilon_curvature=cfg.epsilon_curvature,
         max_ls_evals=cfg.max_ls_evals,
         c1=cfg.c1,

@@ -9,16 +9,13 @@ from pathfinder_tpu.models import StandardNormal
 from pathfinder_tpu.singlepath import pathfinder
 
 
-def test_eval_driven_optimizer_option():
+def test_line_search_variants_reach_same_optimum():
     target = StandardNormal(4)
-    # the fused optimizer embeds the strong-Wolfe search; pin the nested one
-    # to the same search for the trajectory-equality check
     r1 = pathfinder(
-        target, key=jax.random.key(0), maxiters=30, line_search="wolfe"
+        target, key=jax.random.key(0), maxiters=30, line_search="hager_zhang"
     )
     r2 = pathfinder(
-        target, key=jax.random.key(0), maxiters=30,
-        optimizer="lbfgs_eval_driven", line_search="wolfe",
+        target, key=jax.random.key(0), maxiters=30, line_search="wolfe"
     )
     assert r1.success and r2.success
     np.testing.assert_allclose(
@@ -26,12 +23,6 @@ def test_eval_driven_optimizer_option():
     )
     np.testing.assert_allclose(
         r2.fit_distribution.mean, np.zeros(4), atol=1e-6
-    )
-    # both optimizers traverse the same trajectory on this target
-    n1, n2 = int(r1.optim_trace.num_valid), int(r2.optim_trace.num_valid)
-    assert n1 == n2
-    np.testing.assert_allclose(
-        r1.optim_trace.xs[:n1], r2.optim_trace.xs[:n2], rtol=1e-8, atol=1e-10
     )
 
 
