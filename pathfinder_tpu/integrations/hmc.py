@@ -72,6 +72,23 @@ class WoodburyMetric:
         return WoodburyMetric(fit.cov)
 
     @staticmethod
+    def diag(inv_mass_diag: jax.Array, rank: int = 0) -> "WoodburyMetric":
+        """Pure-diagonal metric ``M⁻¹ = diag(inv_mass_diag)`` as a degenerate
+        Woodbury matrix (``rank`` zero-masked low-rank columns, so the pytree
+        structure matches fits of history length ``rank/2`` — required when a
+        diagonal update must replace a low-rank metric inside ``lax.scan``)."""
+        d = inv_mass_diag.shape[0]
+        dtype = inv_mass_diag.dtype
+        return WoodburyMetric(
+            WoodburyPDMat.from_parts(
+                inv_mass_diag,
+                jnp.zeros((d, rank), dtype),
+                jnp.zeros((rank, rank), dtype),
+                col_mask=jnp.zeros((rank,), dtype),
+            )
+        )
+
+    @staticmethod
     def from_result(result) -> "WoodburyMetric":
         """From a :class:`PathfinderResult` (single path)."""
         return WoodburyMetric(result.fit_distribution.cov)

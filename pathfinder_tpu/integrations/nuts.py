@@ -25,7 +25,7 @@ step-size warmup.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -290,48 +290,95 @@ class NUTSResult(NamedTuple):
     tree_depths: jax.Array  # (num_samples,)
     diverging: jax.Array  # (num_samples,) bool
     step_size: jax.Array  # ()
+    # () adapted diagonal M⁻¹ when adapt_mass_matrix=True, else None
+    inv_mass_diag: Optional[jax.Array] = None
+
+
+def _warmup_schedule(num_warmup, init_buffer, term_buffer, base_window):
+    """Stan's three-phase warmup schedule as host-side boolean masks:
+    ``slow[t]`` marks steps whose draw feeds the covariance estimator,
+    ``win_end[t]`` marks the last step of each expanding adaptation window
+    (window sizes double; the final window absorbs the remainder)."""
+    import numpy as np
+
+    if num_warmup < init_buffer + term_buffer + base_window:
+        # Stan's rescaling for short warmups (windowed_adaptation.hpp)
+        init_buffer = int(0.15 * num_warmup)
+        term_buffer = int(0.10 * num_warmup)
+        base_window = max(num_warmup - init_buffer - term_buffer, 1)
+    slow = np.zeros(num_warmup, bool)
+    win_end = np.zeros(num_warmup, bool)
+    lo, hi = init_buffer, num_warmup - term_buffer
+    slow[lo:hi] = True
+    t, size = lo, base_window
+    while t < hi:
+        end = t + size
+        if end + 2 * size > hi:
+            end = hi
+        win_end[min(end, hi) - 1] = True
+        t, size = end, size * 2
+    return slow, win_end
 
 
 @partial(
     jax.jit,
-    static_argnames=("value_and_grad", "num_samples", "num_warmup", "max_depth"),
+    static_argnames=(
+        "value_and_grad",
+        "num_samples",
+        "num_warmup",
+        "max_depth",
+        "adapt_mass_matrix",
+        "init_buffer",
+        "term_buffer",
+        "base_window",
+    ),
 )
 def nuts(
     key: jax.Array,
     value_and_grad: Callable,
-    metric: WoodburyMetric,
+    metric: Optional[WoodburyMetric],
     x0: jax.Array,
     num_samples: int = 1000,
     num_warmup: int = 500,
     max_depth: int = 10,
     init_step_size: float = 0.1,
     target_accept: float = 0.8,
+    adapt_mass_matrix: bool = False,
+    init_buffer: int = 75,
+    term_buffer: int = 50,
+    base_window: int = 25,
 ) -> NUTSResult:
-    """Run one NUTS chain (``vmap`` for several). Dual-averaging step-size
-    warmup; the metric stays fixed (it comes from the Pathfinder fit)."""
+    """Run one NUTS chain (``vmap`` for several).
+
+    ``metric=None`` starts from the identity metric. With the default
+    ``adapt_mass_matrix=False`` the metric stays fixed — the Pathfinder
+    warm-start workflow, where the fit covariance *is* the metric. With
+    ``adapt_mass_matrix=True`` the warmup runs Stan's windowed adaptation:
+    expanding slow windows accumulate a Welford estimate of the posterior
+    variance, each window end replaces the metric with the regularized
+    diagonal estimate ``(n/(n+5))·var + 1e-3·(5/(n+5))`` and restarts the
+    dual-averaging step-size adaptation — making the sampler standalone-
+    complete (the initial metric, e.g. the Pathfinder fit, then only seeds
+    the first window)."""
     dtype = x0.dtype
+    d = x0.shape[0]
+    if metric is None:
+        metric = WoodburyMetric.diag(jnp.ones((d,), dtype))
     logp0, g0 = value_and_grad(x0)
 
-    mu = jnp.log(10.0 * init_step_size)
+    # dual-averaging state: (mu, log_eps, log_eps_bar, h_acc, t); mu is
+    # carried so windowed adaptation can restart the averaging mid-warmup
     da0 = (
+        jnp.asarray(jnp.log(10.0 * init_step_size), dtype),
         jnp.asarray(jnp.log(init_step_size), dtype),
+        jnp.zeros((), dtype),
         jnp.zeros((), dtype),
         jnp.zeros((), dtype),
     )
 
-    def step(carry, inp):
-        x, logp, g, da, t_warm = carry
-        k = inp
-        k_mom = jax.random.fold_in(k, 0)
-        p = metric.sample_momentum(k_mom)
-        log_eps, log_eps_bar, h_acc = da
-        eps = jnp.exp(log_eps)
-        pt0 = _Point(x, p, g, logp)
-        x_n, logp_n, g_n, astat, tree = _nuts_transition(
-            k, value_and_grad, metric, pt0, eps, max_depth
-        )
-        # dual averaging
-        t = t_warm + 1.0
+    def da_update(da, astat):
+        mu, log_eps, log_eps_bar, h_acc, t_prev = da
+        t = t_prev + 1.0
         kappa, gamma, t0c = 0.75, 0.05, 10.0
         h_acc = (1.0 - 1.0 / (t + t0c)) * h_acc + (target_accept - astat) / (
             t + t0c
@@ -339,16 +386,100 @@ def nuts(
         log_eps = mu - jnp.sqrt(t) / gamma * h_acc
         w = t ** (-kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (
-            (x_n, logp_n, g_n, (log_eps, log_eps_bar, h_acc), t),
-            (x_n, astat, logp_n, tree.depth, tree.diverging),
+        return (mu, log_eps, log_eps_bar, h_acc, t)
+
+    if adapt_mass_matrix:
+        if metric.minv.A.ndim != 1:
+            raise ValueError(
+                "adapt_mass_matrix=True requires a diagonal-A metric "
+                "(every Pathfinder fit metric is); got a dense A"
+            )
+        slow_np, win_end_np = _warmup_schedule(
+            num_warmup, init_buffer, term_buffer, base_window
+        )
+        slow_flags = jnp.asarray(slow_np)
+        win_end_flags = jnp.asarray(win_end_np)
+        wf0 = (
+            jnp.zeros((), dtype),  # count
+            jnp.zeros((d,), dtype),  # mean
+            jnp.zeros((d,), dtype),  # M2
         )
 
-    keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
-    carry = (x0, logp0, g0, da0, jnp.zeros((), dtype))
-    carry, _ = lax.scan(step, carry, keys_w)
-    x, logp, g, (log_eps, log_eps_bar, _), _ = carry
-    eps_final = jnp.exp(log_eps_bar)
+        def step(carry, inp):
+            x, logp, g, da, minv, wf = carry
+            k, slow, win_end = inp
+            met = WoodburyMetric(minv)
+            p = met.sample_momentum(jax.random.fold_in(k, 0))
+            eps = jnp.exp(da[1])
+            x_n, logp_n, g_n, astat, tree = _nuts_transition(
+                k, value_and_grad, met, _Point(x, p, g, logp), eps, max_depth
+            )
+            da_n = da_update(da, astat)
+
+            # Welford accumulation over the slow-window draws
+            cnt, mean, m2 = wf
+            cnt1 = cnt + 1.0
+            delta = x_n - mean
+            mean1 = mean + delta / cnt1
+            m2_1 = m2 + delta * (x_n - mean1)
+            cnt = jnp.where(slow, cnt1, cnt)
+            mean = jnp.where(slow, mean1, mean)
+            m2 = jnp.where(slow, m2_1, m2)
+
+            # window end: swap in the regularized diagonal estimate,
+            # reset the estimator, restart dual averaging at the current eps
+            var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+            var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
+            var_reg = jnp.maximum(var_reg, 1e-10)
+            cand = WoodburyMetric.diag(
+                var_reg, rank=minv.B.shape[1]
+            ).minv
+            minv = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(win_end, a, b), cand, minv
+            )
+            cnt = jnp.where(win_end, 0.0, cnt)
+            mean = jnp.where(win_end, jnp.zeros_like(mean), mean)
+            m2 = jnp.where(win_end, jnp.zeros_like(m2), m2)
+            mu_r = jnp.log(10.0) + da_n[1]
+            da_n = tuple(
+                jnp.where(win_end, new, old)
+                for new, old in zip(
+                    (mu_r, da_n[1], da_n[1], jnp.zeros((), dtype),
+                     jnp.zeros((), dtype)),
+                    da_n,
+                )
+            )
+
+            return (
+                (x_n, logp_n, g_n, da_n, minv, (cnt, mean, m2)),
+                (x_n, astat, logp_n, tree.depth, tree.diverging),
+            )
+
+        keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
+        carry = (x0, logp0, g0, da0, metric.minv, wf0)
+        carry, _ = lax.scan(step, carry, (keys_w, slow_flags, win_end_flags))
+        x, logp, g, da, minv_final, _ = carry
+        metric = WoodburyMetric(minv_final)
+        inv_mass_diag = minv_final.diag()
+    else:
+
+        def step(carry, k):
+            x, logp, g, da = carry
+            p = metric.sample_momentum(jax.random.fold_in(k, 0))
+            eps = jnp.exp(da[1])
+            x_n, logp_n, g_n, astat, tree = _nuts_transition(
+                k, value_and_grad, metric, _Point(x, p, g, logp), eps, max_depth
+            )
+            return (
+                (x_n, logp_n, g_n, da_update(da, astat)),
+                (x_n, astat, logp_n, tree.depth, tree.diverging),
+            )
+
+        keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
+        carry, _ = lax.scan(step, (x0, logp0, g0, da0), keys_w)
+        x, logp, g, da = carry
+        inv_mass_diag = None
+    eps_final = jnp.exp(da[2])
 
     def sample_step(carry, k):
         x, logp, g = carry
@@ -368,6 +499,7 @@ def nuts(
         tree_depths=depths,
         diverging=divs,
         step_size=eps_final,
+        inv_mass_diag=inv_mass_diag,
     )
 
 

@@ -35,6 +35,7 @@ from pathfinder_tpu.ops.linesearch import (
     backtracking_line_search,
     hager_zhang_line_search,
     initial_step_size,
+    more_thuente_line_search,
     wolfe_line_search,
 )
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat
@@ -215,6 +216,8 @@ def minimize_lbfgs_trace(
     ftol_rel = float(ftol) * float(jnp.finfo(dtype).eps) if ftol > 0 else 0.0
     if line_search == "hager_zhang":
         ls_fn = hager_zhang_line_search
+    elif line_search == "more_thuente":
+        ls_fn = more_thuente_line_search
     elif line_search == "wolfe":
         ls_fn = wolfe_line_search
     elif line_search == "backtracking":

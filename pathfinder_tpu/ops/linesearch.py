@@ -27,6 +27,7 @@ from jax import lax
 
 __all__ = [
     "hager_zhang_line_search",
+    "more_thuente_line_search",
     "wolfe_line_search",
     "backtracking_line_search",
     "LineSearchResult",
@@ -427,6 +428,314 @@ def hager_zhang_line_search(
     a = jnp.where(final.accepted, final.a_acc, jnp.where(fallback_ok, final.a, 0.0))
     f = jnp.where(final.accepted, final.phi_acc, jnp.where(fallback_ok, final.phi_a, f0))
     g = jnp.where(final.accepted, final.g_acc, jnp.where(fallback_ok, final.g_a, g0))
+    ok = final.accepted | fallback_ok
+    return LineSearchResult(
+        step_size=a, f=f, g=g, num_evals=final.nev, ok=ok,
+        exhausted=fallback_ok & ~final.accepted,
+    )
+
+
+def _mt_cubic_quad(stx, fx, dx, stp, fp, dp, clamp_disc):
+    """Shared pieces of the MINPACK ``dcstep`` interpolants between the
+    points ``stx`` and ``stp``: (cubic minimizer ingredients γ, p, q) with
+    the discriminant clamped to ≥ 0 when ``clamp_disc`` (case 3's possibly
+    minimizer-free cubic)."""
+    theta = 3.0 * (fx - fp) / (stp - stx) + dx + dp
+    s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(dx)), jnp.abs(dp))
+    s = jnp.maximum(s, 1e-32)
+    disc = (theta / s) ** 2 - (dx / s) * (dp / s)
+    if clamp_disc:
+        disc = jnp.maximum(disc, 0.0)
+    gamma = s * jnp.sqrt(jnp.maximum(disc, 0.0))
+    return theta, gamma
+
+
+class _MTState(NamedTuple):
+    nev: jax.Array
+    stp: jax.Array  # current trial step
+    brackt: jax.Array  # bool: minimizer bracketed in [stx, sty]
+    stage1: jax.Array  # bool: still using the modified function ψ
+    # best point so far (satisfies sufficient decrease of ψ/φ)
+    stx: jax.Array
+    fx: jax.Array
+    dx: jax.Array
+    g_x: jax.Array  # (d,) gradient vector at stx
+    # other interval endpoint
+    sty: jax.Array
+    fy: jax.Array
+    dy: jax.Array
+    # bisection safeguard widths
+    width: jax.Array
+    width1: jax.Array
+    # accepted point
+    a_acc: jax.Array
+    phi_acc: jax.Array
+    g_acc: jax.Array
+    accepted: jax.Array
+
+
+def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stmin, stmax):
+    """MINPACK-2 ``dcstep`` (Moré & Thuente 1994 §4): given the best point
+    ``stx``, endpoint ``sty``, and a new trial ``stp`` with values/derivatives
+    of the (possibly modified) objective, compute the next trial step via
+    safeguarded cubic/quadratic interpolation and update the interval.
+
+    All four cases are evaluated branchlessly and selected with ``where`` —
+    scalars only, so the cost is negligible next to the ``value_and_grad``
+    call. Returns ``(stx, fx, dx, sty, fy, dy, stp_next, brackt, moved_x)``
+    where ``moved_x`` flags that the best point moved to ``stp`` (the caller
+    must then save the gradient vector)."""
+    sgnd = dp * jnp.sign(dx)
+
+    # --- case 1: higher function value — minimum bracketed ----------------
+    theta1, gamma1 = _mt_cubic_quad(stx, fx, dx, stp, fp, dp, clamp_disc=False)
+    gamma1 = jnp.where(stp < stx, -gamma1, gamma1)
+    p1 = (gamma1 - dx) + theta1
+    q1 = ((gamma1 - dx) + gamma1) + dp
+    r1 = p1 / jnp.where(jnp.abs(q1) > 0, q1, 1e-32)
+    stpc1 = stx + r1 * (stp - stx)
+    denq1 = (fx - fp) / (stp - stx) + dx
+    stpq1 = stx + (dx / jnp.where(jnp.abs(denq1) > 0, denq1, 1e-32)) / 2.0 * (
+        stp - stx
+    )
+    case1_step = jnp.where(
+        jnp.abs(stpc1 - stx) < jnp.abs(stpq1 - stx),
+        stpc1,
+        stpc1 + (stpq1 - stpc1) / 2.0,
+    )
+
+    # --- case 2: lower value, derivatives of opposite sign — bracketed ----
+    theta2, gamma2 = _mt_cubic_quad(stp, fp, dp, stx, fx, dx, clamp_disc=False)
+    gamma2 = jnp.where(stp > stx, -gamma2, gamma2)
+    p2 = (gamma2 - dp) + theta2
+    q2 = ((gamma2 - dp) + gamma2) + dx
+    r2 = p2 / jnp.where(jnp.abs(q2) > 0, q2, 1e-32)
+    stpc2 = stp + r2 * (stx - stp)
+    den2 = dp - dx
+    stpq2 = stp + (dp / jnp.where(jnp.abs(den2) > 0, den2, 1e-32)) * (stx - stp)
+    case2_step = jnp.where(
+        jnp.abs(stpc2 - stp) > jnp.abs(stpq2 - stp), stpc2, stpq2
+    )
+
+    # --- case 3: lower value, same sign, |dp| < |dx| -----------------------
+    theta3, gamma3 = _mt_cubic_quad(stp, fp, dp, stx, fx, dx, clamp_disc=True)
+    gamma3 = jnp.where(stp > stx, -gamma3, gamma3)
+    p3 = (gamma3 - dp) + theta3
+    q3 = (gamma3 + (dx - dp)) + gamma3
+    r3 = p3 / jnp.where(jnp.abs(q3) > 0, q3, 1e-32)
+    stpc3 = jnp.where(
+        (r3 < 0.0) & (gamma3 != 0.0),
+        stp + r3 * (stx - stp),
+        jnp.where(stp > stx, stmax, stmin),
+    )
+    stpq3 = stp + (dp / jnp.where(jnp.abs(den2) > 0, den2, 1e-32)) * (stx - stp)
+    c3_brackt = jnp.where(
+        jnp.abs(stpc3 - stp) < jnp.abs(stpq3 - stp), stpc3, stpq3
+    )
+    c3_brackt = jnp.where(
+        stp > stx,
+        jnp.minimum(stp + 0.66 * (sty - stp), c3_brackt),
+        jnp.maximum(stp + 0.66 * (sty - stp), c3_brackt),
+    )
+    c3_free = jnp.clip(
+        jnp.where(jnp.abs(stpc3 - stp) > jnp.abs(stpq3 - stp), stpc3, stpq3),
+        stmin,
+        stmax,
+    )
+    case3_step = jnp.where(brackt, c3_brackt, c3_free)
+
+    # --- case 4: lower value, same sign, |dp| ≥ |dx| ------------------------
+    theta4, gamma4 = _mt_cubic_quad(sty, fy, dy, stp, fp, dp, clamp_disc=False)
+    gamma4 = jnp.where(stp > sty, -gamma4, gamma4)
+    p4 = (gamma4 - dp) + theta4
+    q4 = ((gamma4 - dp) + gamma4) + dy
+    r4 = p4 / jnp.where(jnp.abs(q4) > 0, q4, 1e-32)
+    stpc4 = stp + r4 * (sty - stp)
+    case4_step = jnp.where(
+        brackt, stpc4, jnp.where(stp > stx, stmax, stmin)
+    )
+
+    is1 = fp > fx
+    is2 = (~is1) & (sgnd < 0.0)
+    is3 = (~is1) & (~is2) & (jnp.abs(dp) < jnp.abs(dx))
+    stpf = jnp.where(
+        is1, case1_step, jnp.where(is2, case2_step, jnp.where(is3, case3_step, case4_step))
+    )
+    brackt_new = brackt | is1 | is2
+
+    # interval update (dcstep epilogue)
+    move_y_to_x = (~is1) & (sgnd < 0.0)
+    sty_n = jnp.where(is1, stp, jnp.where(move_y_to_x, stx, sty))
+    fy_n = jnp.where(is1, fp, jnp.where(move_y_to_x, fx, fy))
+    dy_n = jnp.where(is1, dp, jnp.where(move_y_to_x, dx, dy))
+    moved_x = ~is1
+    stx_n = jnp.where(moved_x, stp, stx)
+    fx_n = jnp.where(moved_x, fp, fx)
+    dx_n = jnp.where(moved_x, dp, dx)
+
+    stp_next = jnp.clip(stpf, stmin, stmax)
+    return stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stp_next, brackt_new, moved_x
+
+
+def more_thuente_line_search(
+    value_and_grad: Callable,
+    x: jax.Array,
+    f0: jax.Array,
+    g0: jax.Array,
+    direction: jax.Array,
+    alpha0: jax.Array,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    max_evals: int = 12,
+    alpha_min: float = 1e-16,
+    alpha_max: float = 65536.0,
+    xtrapl: float = 1.1,
+    xtrapu: float = 4.0,
+) -> LineSearchResult:
+    """Moré-Thuente line search (Moré & Thuente 1994, "Line search algorithms
+    with guaranteed sufficient decrease"; MINPACK-2 ``dcsrch``/``dcstep``) —
+    the alternative to Hager-Zhang that SURVEY §7 names, as the same
+    one-evaluation-per-iteration ``lax.while_loop`` shape as the other
+    searches here (plays the role of ``LineSearches.MoreThuente`` next to the
+    reference's default ``LineSearches.HagerZhang``,
+    ``src/Pathfinder.jl:25-35``).
+
+    Finds ``a`` satisfying the strong Wolfe conditions
+
+        φ(a) ≤ φ(0) + c1·a·φ'(0)   and   |φ'(a)| ≤ c2·|φ'(0)|
+
+    via the two-stage scheme: stage 1 applies the interval updates to the
+    *modified* function ψ(a) = φ(a) − φ(0) − c1·a·φ'(0) until a point with
+    ψ(a) ≤ 0 and φ'(a) ≥ min(c1,c2)·φ'(0) appears, then switches to φ itself;
+    trial steps come from the safeguarded cubic/quadratic selection of
+    ``dcstep`` with the 0.66-width bisection fallback. Non-finite trial
+    values backtrack geometrically toward the best point (the jit-safe analog
+    of the reference's NaN/Inf handling, ``src/optimize.jl:103-105``).
+    """
+    dtype = x.dtype
+    p = direction
+    dphi0 = jnp.vdot(g0, p).astype(dtype)
+    zero = jnp.zeros((), dtype)
+    gtest = c1 * dphi0  # slope of the sufficient-decrease line
+
+    def phi(a):
+        fa, ga = value_and_grad(x + a * p)
+        ga = ga.astype(dtype)
+        return fa.astype(dtype), ga, jnp.vdot(ga, p).astype(dtype)
+
+    width0 = jnp.asarray(alpha_max - alpha_min, dtype)
+    init = _MTState(
+        nev=jnp.asarray(0),
+        stp=jnp.clip(jnp.asarray(alpha0, dtype), alpha_min, alpha_max),
+        brackt=jnp.asarray(False),
+        stage1=jnp.asarray(True),
+        stx=zero,
+        fx=f0,
+        dx=dphi0,
+        g_x=g0,
+        sty=zero,
+        fy=f0,
+        dy=dphi0,
+        width=width0,
+        width1=2.0 * width0,
+        a_acc=zero,
+        phi_acc=f0,
+        g_acc=g0,
+        accepted=jnp.asarray(False),
+    )
+
+    def cond(s: _MTState):
+        return (~s.accepted) & (s.nev < max_evals) & (
+            (~s.brackt) | (jnp.abs(s.sty - s.stx) > 1e-12 * jnp.abs(s.stx))
+        )
+
+    def body(s: _MTState) -> _MTState:
+        fp, g_p, dp = phi(s.stp)
+        nev = s.nev + 1
+        bad = ~(jnp.isfinite(fp) & jnp.isfinite(dp))
+
+        ftest = f0 + s.stp * gtest
+        suff = fp <= ftest
+        curv = jnp.abs(dp) <= c2 * jnp.abs(dphi0)
+        accept = (~bad) & suff & curv & (s.stp > 0)
+
+        # stage switch: ψ(stp) ≤ 0 and φ'(stp) ≥ min(c1,c2)·φ'(0)
+        stage1 = s.stage1 & ~(suff & (dp >= jnp.minimum(c1, c2) * dphi0))
+
+        # interval-of-uncertainty bounds for the next trial
+        stmin = jnp.where(
+            s.brackt, jnp.minimum(s.stx, s.sty), s.stp + xtrapl * (s.stp - s.stx)
+        )
+        stmax = jnp.where(
+            s.brackt, jnp.maximum(s.stx, s.sty), s.stp + xtrapu * (s.stp - s.stx)
+        )
+
+        # modified function ψ in stage 1 while ψ(stp) > 0 and φ(stp) ≤ φ(stx)
+        use_mod = stage1 & (fp <= s.fx) & (~suff)
+        fm = jnp.where(use_mod, fp - s.stp * gtest, fp)
+        fxm = jnp.where(use_mod, s.fx - s.stx * gtest, s.fx)
+        fym = jnp.where(use_mod, s.fy - s.sty * gtest, s.fy)
+        dm = jnp.where(use_mod, dp - gtest, dp)
+        dxm = jnp.where(use_mod, s.dx - gtest, s.dx)
+        dym = jnp.where(use_mod, s.dy - gtest, s.dy)
+
+        stx_n, fx_n, dx_n, sty_n, fy_n, dy_n, stp_n, brackt_n, moved_x = _dcstep(
+            s.stx, fxm, dxm, s.sty, fym, dym, s.stp, fm, dm, s.brackt, stmin, stmax
+        )
+        # undo the ψ shift on the stored values
+        fx_n = jnp.where(use_mod, fx_n + stx_n * gtest, fx_n)
+        fy_n = jnp.where(use_mod, fy_n + sty_n * gtest, fy_n)
+        dx_n = jnp.where(use_mod, dx_n + gtest, dx_n)
+        dy_n = jnp.where(use_mod, dy_n + gtest, dy_n)
+        g_x_n = jnp.where(moved_x, g_p, s.g_x)
+
+        # 0.66 bisection safeguard on bracketed intervals
+        wid = jnp.abs(sty_n - stx_n)
+        force_bisect = brackt_n & (wid >= 0.66 * s.width1)
+        stp_n = jnp.where(force_bisect, stx_n + 0.5 * (sty_n - stx_n), stp_n)
+        width1_n = jnp.where(brackt_n, s.width, s.width1)
+        width_n = jnp.where(brackt_n, wid, s.width)
+
+        stp_n = jnp.clip(stp_n, alpha_min, alpha_max)
+
+        # non-finite trial: discard, backtrack toward the best point
+        stp_bad = s.stx + 0.3 * (s.stp - s.stx)
+        return _MTState(
+            nev=nev,
+            stp=jnp.where(bad, stp_bad, stp_n),
+            brackt=jnp.where(bad, s.brackt, brackt_n),
+            stage1=jnp.where(bad, s.stage1, stage1),
+            stx=jnp.where(bad, s.stx, stx_n),
+            fx=jnp.where(bad, s.fx, fx_n),
+            dx=jnp.where(bad, s.dx, dx_n),
+            g_x=jnp.where(bad, s.g_x, g_x_n),
+            sty=jnp.where(bad, s.sty, sty_n),
+            fy=jnp.where(bad, s.fy, fy_n),
+            dy=jnp.where(bad, s.dy, dy_n),
+            width=jnp.where(bad, s.width, width_n),
+            width1=jnp.where(bad, s.width1, width1_n),
+            a_acc=jnp.where(accept, s.stp, s.a_acc),
+            phi_acc=jnp.where(accept, fp, s.phi_acc),
+            g_acc=jnp.where(accept, g_p, s.g_acc),
+            accepted=s.accepted | accept,
+        )
+
+    final = lax.while_loop(cond, body, init)
+
+    # exhausted budget: fall back to the best sufficient-decrease point (stx)
+    fallback_ok = (
+        (final.stx > 0)
+        & jnp.isfinite(final.fx)
+        & (final.fx < f0)
+        & (final.fx <= f0 + final.stx * gtest)
+    )
+    a = jnp.where(
+        final.accepted, final.a_acc, jnp.where(fallback_ok, final.stx, 0.0)
+    )
+    f = jnp.where(
+        final.accepted, final.phi_acc, jnp.where(fallback_ok, final.fx, f0)
+    )
+    g = jnp.where(final.accepted, final.g_acc, jnp.where(fallback_ok, final.g_x, g0))
     ok = final.accepted | fallback_ok
     return LineSearchResult(
         step_size=a, f=f, g=g, num_evals=final.nev, ok=ok,

@@ -119,14 +119,55 @@ def _decode(meta, arrays, rebind: dict, unbound: set):
         for k, v in rebind.items():
             if k in fields and fields[k] is None:
                 fields[k] = v
-        return cls(**fields)
+        return _construct(cls, fields, meta["type"])
     raise ValueError(f"bad meta node: {meta}")
+
+
+def _construct(cls, fields: dict, type_name: str):
+    """Schema-evolution-tolerant construction: fields saved by an older
+    version that no longer exist are dropped, fields added since are filled
+    from the dataclass/NamedTuple default (or ``None``) — both with a
+    warning naming the field, so renames surface loudly instead of as an
+    opaque ``TypeError``."""
+    import warnings
+
+    if dataclasses.is_dataclass(cls):
+        current = {f.name: f for f in dataclasses.fields(cls)}
+        defaults = {
+            n: f.default
+            for n, f in current.items()
+            if f.default is not dataclasses.MISSING
+        }
+    else:  # NamedTuple
+        current = dict.fromkeys(cls._fields)
+        defaults = dict(cls._field_defaults)
+
+    dropped = sorted(set(fields) - set(current))
+    added = sorted(set(current) - set(fields))
+    if dropped:
+        warnings.warn(
+            f"load_result: saved {type_name} has fields the current class "
+            f"does not: {dropped}; dropping them (file written by another "
+            "version)."
+        )
+    kwargs = {k: v for k, v in fields.items() if k in current}
+    for name in added:
+        kwargs[name] = defaults.get(name)
+    if added and any(n not in defaults for n in added):
+        warnings.warn(
+            f"load_result: saved {type_name} predates fields "
+            f"{[n for n in added if n not in defaults]}; filled with None."
+        )
+    return cls(**kwargs)
+
+
+FORMAT_VERSION = 1
 
 
 def save_result(path: str, result) -> None:
     """Save any registered result/state pytree to ``<path>.npz``."""
     arrays: dict = {}
-    meta = _encode(result, arrays, [0])
+    meta = {"v": FORMAT_VERSION, "root": _encode(result, arrays, [0])}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -144,6 +185,8 @@ def load_result(path: str, fn=None):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["__meta__"]).decode())
+    # pre-versioning files hold the root node directly
+    meta = meta["root"] if "v" in meta else meta
     rebind = {}
     if fn is not None:
         from pathfinder_tpu.models.protocol import as_log_density

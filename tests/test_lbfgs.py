@@ -329,7 +329,62 @@ def test_hager_zhang_line_search_conditions():
         assert wolfe or approx, (start, a, dphi_a, dphi0)
 
 
-@pytest.mark.parametrize("line_search", ["hager_zhang", "wolfe"])
+def test_more_thuente_line_search_conditions():
+    """Accepted Moré-Thuente steps satisfy the strong Wolfe conditions —
+    the guarantee of Moré & Thuente (1994) that makes it a valid alternative
+    to the reference's default Hager-Zhang (``src/Pathfinder.jl:25-35``)."""
+    from pathfinder_tpu.ops.linesearch import more_thuente_line_search
+
+    def vg(x):
+        val = x[0] ** 4 - 3 * x[0] ** 2 + x[0]
+        grad = jnp.asarray([4 * x[0] ** 3 - 6 * x[0] + 1])
+        return val, grad
+
+    c1, c2 = 1e-4, 0.9
+    for start, a0 in [(0.0, 1.0), (0.4, 1.0), (-0.3, 1.0), (0.0, 37.0), (2.0, 0.01)]:
+        x = jnp.asarray([start])
+        f0, g0 = vg(x)
+        p = -jnp.sign(g0) * jnp.ones(1)
+        res = more_thuente_line_search(
+            vg, x, f0, g0, p, jnp.asarray(a0), c1=c1, c2=c2, max_evals=20
+        )
+        assert bool(res.ok), (start, a0)
+        a = float(res.step_size)
+        dphi0 = float(g0 @ p)
+        fa, ga = vg(x + a * p)
+        dphi_a = float(ga @ p)
+        exhausted = bool(res.exhausted)
+        suff = float(fa) <= float(f0) + c1 * a * dphi0 + 1e-12
+        curv = abs(dphi_a) <= -c2 * dphi0 + 1e-12
+        assert suff, (start, a0, a)
+        if not exhausted:
+            assert curv, (start, a0, a, dphi_a, dphi0)
+        # the returned (f, g) must match the actual objective at the step
+        np.testing.assert_allclose(float(res.f), float(fa), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.g), np.asarray(ga), rtol=1e-6)
+
+
+def test_more_thuente_nonfinite_trials_backtrack():
+    """Trial points in a zero-density region (-Inf/NaN) are discarded and the
+    search backtracks to a finite accepted step."""
+    from pathfinder_tpu.ops.linesearch import more_thuente_line_search
+
+    def vg(x):
+        val = jnp.where(x[0] > 1.0, jnp.nan, 0.5 * (x[0] - 0.9) ** 2)
+        grad = jnp.asarray([jnp.where(x[0] > 1.0, jnp.nan, x[0] - 0.9)])
+        return val, grad
+
+    x = jnp.asarray([0.0])
+    f0, g0 = vg(x)
+    p = jnp.asarray([1.0])
+    res = more_thuente_line_search(vg, x, f0, g0, p, jnp.asarray(8.0), max_evals=20)
+    assert bool(res.ok)
+    a = float(res.step_size)
+    assert 0.0 < a <= 1.0
+    assert np.isfinite(float(res.f))
+
+
+@pytest.mark.parametrize("line_search", ["hager_zhang", "more_thuente", "wolfe"])
 def test_line_search_trajectory_quality(line_search):
     """Both searches drive L-BFGS to the optimum of an ill-conditioned
     quadratic within the eval budget; curvature pairs are accepted (no

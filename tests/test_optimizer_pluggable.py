@@ -11,19 +11,14 @@ from pathfinder_tpu.singlepath import pathfinder
 
 def test_line_search_variants_reach_same_optimum():
     target = StandardNormal(4)
-    r1 = pathfinder(
-        target, key=jax.random.key(0), maxiters=30, line_search="hager_zhang"
-    )
-    r2 = pathfinder(
-        target, key=jax.random.key(0), maxiters=30, line_search="wolfe"
-    )
-    assert r1.success and r2.success
-    np.testing.assert_allclose(
-        r1.fit_distribution.mean, np.zeros(4), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        r2.fit_distribution.mean, np.zeros(4), atol=1e-6
-    )
+    for ls in ["hager_zhang", "more_thuente", "wolfe"]:
+        res = pathfinder(
+            target, key=jax.random.key(0), maxiters=30, line_search=ls
+        )
+        assert res.success, ls
+        np.testing.assert_allclose(
+            res.fit_distribution.mean, np.zeros(4), atol=1e-6, err_msg=ls
+        )
 
 
 def test_unknown_optimizer_raises():

@@ -50,3 +50,38 @@ def test_multipath_roundtrip_and_resample(tmp_path):
     assert r2.draws.shape == (3, 40)
     r2b = resample(res, 40, key=jax.random.key(2))
     np.testing.assert_array_equal(np.asarray(r2.draws), np.asarray(r2b.draws))
+
+
+def test_schema_evolution_tolerant_load(tmp_path):
+    """Files written by other versions load with warnings, not TypeErrors:
+    renamed-away fields are dropped, newer fields fill from defaults/None."""
+    import json
+    import numpy as np_
+    import pytest
+
+    target = StandardNormal(3)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=10, maxiters=20)
+    p = str(tmp_path / "evo")
+    save_result(p, res)
+
+    data = dict(np_.load(p + ".npz", allow_pickle=False))
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    assert meta["v"] == 1
+    root = meta["root"]
+    assert root["type"] == "PathfinderResult"
+    # simulate an old file: a field the current class does not have, and a
+    # current field missing from the file
+    root["fields"]["legacy_field"] = {"lit": 42}
+    removed = "num_tries"
+    assert removed in root["fields"]
+    del root["fields"][removed]
+    data["__meta__"] = np_.frombuffer(
+        json.dumps(meta).encode(), dtype=np_.uint8
+    )
+    np_.savez(p + "_old", **data)
+
+    with pytest.warns(UserWarning, match="legacy_field"):
+        loaded = load_result(p + "_old", fn=target)
+    np_.testing.assert_array_equal(
+        np_.asarray(loaded.draws), np_.asarray(res.draws)
+    )
