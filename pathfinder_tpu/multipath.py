@@ -54,12 +54,45 @@ def _log_importance_ratios_fit(
     )
 
 
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _log_importance_ratios_mixture(
+    components: MvNormal, draws_knd: jax.Array, use_pallas: bool = False
+):
+    """logq of each draw under the full uniform mixture: ``logsumexp_k'
+    logq_k'(x) − log K``. The proposal the pooled draws are *actually*
+    distributed as, so the importance weights have provably no more
+    variance than the own-component ratios (the balance heuristic /
+    mixture-IS estimator). The reference uses own-component ratios only
+    (``src/resample.jl:86-89``) — K·N component logpdfs; the mixture needs
+    K²·N, sequentially prohibitive but one batched O(K²·N·d·m) matmul tower
+    on the MXU. Opt-in via ``importance_denominator="mixture"``."""
+    K, N, d = draws_knd.shape
+    flat = draws_knd.reshape(K * N, d)
+    logq_all = jax.vmap(
+        lambda c: c.logpdf(flat.T, use_pallas=use_pallas)
+    )(components)  # (K components, K*N draws)
+    logq_mix = jax.scipy.special.logsumexp(logq_all, axis=0) - jnp.log(K)
+    return logq_mix.reshape(K, N)
+
+
 def _compute_psis_result(
     logp: Callable, components: MvNormal, draws_knd: jax.Array,
-    use_pallas: bool = False,
+    use_pallas: bool = False, denominator: str = "component",
 ) -> PSISResult:
-    """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``)."""
-    log_q = _log_importance_ratios_fit(components, draws_knd, use_pallas)  # (K, N)
+    """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``).
+
+    ``denominator="component"`` reproduces the reference's own-component
+    log-ratios; ``"mixture"`` uses the full-mixture logpdf (lower-variance
+    weights, better Pareto-k̂ — see
+    :func:`_log_importance_ratios_mixture`)."""
+    if denominator == "component":
+        log_q = _log_importance_ratios_fit(components, draws_knd, use_pallas)
+    elif denominator == "mixture":
+        log_q = _log_importance_ratios_mixture(
+            components, draws_knd, use_pallas
+        )
+    else:
+        raise ValueError(f"unknown importance_denominator {denominator!r}")
     log_p = jax.vmap(jax.vmap(logp))(draws_knd)  # (K, N)
     log_ratios = (log_p - log_q).reshape(-1)  # component-major
     return psis(log_ratios)
@@ -151,6 +184,7 @@ def multipathfinder(
     ndraws_elbo: int = 5,
     ndraws_per_run: Optional[int] = None,
     importance: bool = True,
+    importance_denominator: str = "component",
     history_length: int = 6,
     maxiters: int = 1000,
     ntries: int = 1000,
@@ -315,7 +349,8 @@ def multipathfinder(
 
     psis_result = (
         _compute_psis_result(
-            target.logp, components, draws_knd, use_pallas=config.use_pallas
+            target.logp, components, draws_knd, use_pallas=config.use_pallas,
+            denominator=importance_denominator,
         )
         if importance
         else None
@@ -352,6 +387,7 @@ def resample(
     key: Optional[jax.Array] = None,
     replace: bool = True,
     importance: bool = True,
+    importance_denominator: Optional[str] = None,
     ndraws_per_run: Optional[int] = None,
 ) -> MultiPathfinderResult:
     """Re-resample a finished result without re-optimizing (parity:
@@ -360,7 +396,9 @@ def resample(
     Reuses stored per-path draws (and the stored PSIS result) unless
     ``ndraws_per_run`` requests fresh draws from each component; recomputes
     PSIS when needed; preserves every other field
-    (``src/resample.jl:119-137``).
+    (``src/resample.jl:119-137``). Passing ``importance_denominator``
+    ("component" or "mixture") forces a PSIS recompute with that
+    denominator even when a stored result exists.
     """
     if key is None:
         key = jax.random.fold_in(result.key, 0x7E5A)
@@ -379,12 +417,15 @@ def resample(
         psis_stored = None
 
     if importance:
+        if importance_denominator is not None:
+            psis_stored = None  # force recompute with the requested ratios
         psis_used = (
             psis_stored
             if psis_stored is not None
             else _compute_psis_result(
                 result.logp, components, draws_knd,
                 use_pallas=result.config.use_pallas,
+                denominator=importance_denominator or "component",
             )
         )
     else:
