@@ -250,9 +250,18 @@ def run_all_configs():
     )
     sd3 = np.concatenate([[3.0], np.full(100, np.exp(4.5 / 2))])
     me, se = _moment_errors(res.draws, np.zeros(101), sd3)
+    from pathfinder_tpu.multipath import resample as _resample
+
+    khat_mix3 = float(
+        _resample(
+            res, 400, key=jax.random.key(30),
+            importance_denominator="mixture",
+        ).psis_result.pareto_shape
+    )
     results.append(
         ("multipath_8paths_funnel101_s", t,
          {"khat": round(float(res.psis_result.pareto_shape), 3),
+          "khat_mixture_denom": round(khat_mix3, 3),
           "moment_err_mean": round(me, 3), "moment_err_sd": round(se, 3)})
     )
 
@@ -264,6 +273,15 @@ def run_all_configs():
         jax.random.key(4),
     )
     extra4 = {"khat": round(float(res.psis_result.pareto_shape), 3)}
+    extra4["khat_mixture_denom"] = round(
+        float(
+            _resample(
+                res, 1000, key=jax.random.key(40),
+                importance_denominator="mixture",
+            ).psis_result.pareto_shape
+        ),
+        3,
+    )
     truth_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "logreg25_truth.npz",

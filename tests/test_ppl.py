@@ -372,3 +372,52 @@ def test_from_numpyro_real():
     assert set(con) >= {"mu", "sigma"}
     assert np.all(np.asarray(con["sigma"]) > 0)
     assert abs(float(jnp.mean(con["mu"])) - float(data.mean())) < 0.3
+
+
+def test_eight_schools_noncentered_end_to_end():
+    """The classic hierarchical benchmark as a BayesModel: vector-sized
+    prior blocks + hierarchical coupling through the likelihood
+    (non-centered parameterization). Validates multipath + transforms +
+    per-draw stats on a model shaped like real PPL workloads, checked
+    against the analytically-known posterior-mean pull toward the pooled
+    effect."""
+    y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def loglik(p):
+        theta = p["mu"] + p["tau"] * p["theta_raw"]  # non-centered
+        return jnp.sum(-0.5 * ((y - theta) / sigma) ** 2)
+
+    model = BayesModel(
+        {
+            "mu": Normal(0.0, 5.0),
+            "tau": HalfNormal(5.0),
+            "theta_raw": (Normal(0.0, 1.0), 8),
+        },
+        loglik,
+    )
+    assert model.dim == 10
+
+    res = multipathfinder(
+        model, 2000, key=jax.random.key(0), nruns=16, maxiters=200,
+        importance_denominator="mixture",
+    )
+    ch = res.draws_transformed
+    assert set(ch) >= {"mu", "tau", "theta_raw", "logjoint"}
+    assert ch["theta_raw"].shape == (2000, 8)  # (ndraws, block size)
+    assert np.all(np.asarray(ch["tau"]) > 0)
+    mu = float(np.mean(np.asarray(ch["mu"])))
+    tau = float(np.mean(np.asarray(ch["tau"])))
+    # NUTS reference values for this data: E[mu]≈4.4, E[tau]≈3.6 — generous
+    # bands since Pathfinder is an approximation
+    assert 1.0 < mu < 8.0, mu
+    assert 0.5 < tau < 8.0, tau
+    # partial pooling: per-school posterior means pulled toward mu relative
+    # to the raw observations
+    theta = (
+        np.asarray(ch["mu"])[:, None]
+        + np.asarray(ch["tau"])[:, None] * np.asarray(ch["theta_raw"])
+    )  # (ndraws, 8)
+    theta_mean = theta.mean(axis=0)
+    pull = np.abs(theta_mean - mu) / np.maximum(np.abs(np.asarray(y) - mu), 1e-9)
+    assert np.all(pull < 1.0), pull  # every school shrinks toward the pooled mean
