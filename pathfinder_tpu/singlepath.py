@@ -387,8 +387,6 @@ def pathfinder(
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
     if jnp.finfo(dtype).bits < 32:
-        import warnings
-
         # measured on TPU v5e (d=1000, 100 paths): bf16 state makes the
         # curvature pairs s=x_{l+1}-x_l cancel to noise — 0/100 paths
         # succeed vs 100/100 in f32. Compute stays f32-dominant anyway.

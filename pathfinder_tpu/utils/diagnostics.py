@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import ndtri
 
-__all__ = ["split_rhat", "ess_bulk", "summarize"]
+__all__ = ["split_rhat", "ess_bulk", "ess_tail", "summarize"]
 
 
 def _split_chains(x):
@@ -119,6 +119,31 @@ def ess_bulk(samples: jax.Array) -> jax.Array:
     return jax.vmap(one, in_axes=2)(x)
 
 
+def _ess_quantile(xd, prob):
+    """ESS of the indicator I(x ≤ q_prob) over (C, N) split chains — the
+    tail-resolution measure of Vehtari et al. (2021) §4.3."""
+    q = jnp.quantile(xd, prob)
+    ind = (xd <= q).astype(jnp.result_type(float))
+    # a constant indicator (all/none below q) has no autocorrelation
+    # information; its ESS is the full sample size by convention
+    C, N = xd.shape
+    degenerate = (ind.std() == 0)
+    return jnp.where(degenerate, float(C * N), _ess_one(ind))
+
+
+def ess_tail(samples: jax.Array) -> jax.Array:
+    """Tail ESS: min of the 5%- and 95%-quantile indicator ESS per
+    dimension for ``(chains, samples, dim)`` (Vehtari et al. 2021; the
+    ArviZ ``ess_tail`` convention). Low tail ESS with fine bulk ESS means
+    the chains resolve the center but not the tails."""
+    x = _split_chains(jnp.asarray(samples))
+
+    def one(xd):  # (C, N)
+        return jnp.minimum(_ess_quantile(xd, 0.05), _ess_quantile(xd, 0.95))
+
+    return jax.vmap(one, in_axes=2)(x)
+
+
 def summarize(samples: jax.Array) -> dict:
     """Mean/sd/ESS/R̂ summary for ``(chains, samples, dim)`` (or
     ``(samples, dim)``, treated as one chain)."""
@@ -129,5 +154,6 @@ def summarize(samples: jax.Array) -> dict:
         "mean": x.mean(axis=(0, 1)),
         "sd": x.std(axis=(0, 1), ddof=1),
         "ess_bulk": ess_bulk(x),
+        "ess_tail": ess_tail(x),
         "rhat": split_rhat(x),
     }

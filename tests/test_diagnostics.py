@@ -56,3 +56,34 @@ def test_summarize_shapes():
     assert s["rhat"].shape == (3,)
     s1 = summarize(jnp.asarray(rng.standard_normal((500, 3))))
     assert s1["ess_bulk"].shape == (3,)
+
+
+def test_ess_tail_iid_vs_autocorrelated():
+    """iid chains: tail ESS near the sample count; AR(1) chains: far less
+    (the indicator inherits the autocorrelation)."""
+    import numpy as np
+    from pathfinder_tpu.utils.diagnostics import ess_tail
+
+    rng = np.random.default_rng(0)
+    C, N = 4, 2000
+    iid = rng.standard_normal((C, N, 1))
+    tail_iid = float(np.asarray(ess_tail(jnp.asarray(iid)))[0])
+    assert 0.5 * C * N < tail_iid < 1.5 * C * N
+
+    rho = 0.95
+    ar = np.zeros((C, N, 1))
+    z = rng.standard_normal((C, N))
+    for t in range(1, N):
+        ar[:, t, 0] = rho * ar[:, t - 1, 0] + np.sqrt(1 - rho**2) * z[:, t]
+    tail_ar = float(np.asarray(ess_tail(jnp.asarray(ar)))[0])
+    assert tail_ar < 0.25 * tail_iid
+
+
+def test_ess_tail_in_summarize():
+    import numpy as np
+    from pathfinder_tpu.utils.diagnostics import summarize
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 500, 3)))
+    s = summarize(x)
+    assert s["ess_tail"].shape == (3,)
+    assert np.all(np.asarray(s["ess_tail"]) > 100)
