@@ -23,7 +23,7 @@ from pathfinder_tpu.singlepath import (
     PathfinderResult,
     pathfinder,
 )
-from pathfinder_tpu.utils.diagnostics import ess_bulk, split_rhat, summarize
+from pathfinder_tpu.utils.diagnostics import ess_bulk, ess_tail, split_rhat, summarize
 
 __version__ = "0.1.0"
 
@@ -47,6 +47,7 @@ __all__ = [
     "paths_mesh",
     "make_path_executor",
     "ess_bulk",
+    "ess_tail",
     "split_rhat",
     "summarize",
 ]
