@@ -14,6 +14,8 @@ from pathfinder_tpu.integrations.transforms import (
     Exp,
     Identity,
     Interval,
+    Ordered,
+    Simplex,
     Stacked,
     TransformedLogDensity,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "Identity",
     "Exp",
     "Interval",
+    "Ordered",
+    "Simplex",
     "Stacked",
     "TransformedLogDensity",
 ]

@@ -26,6 +26,8 @@ __all__ = [
     "Identity",
     "Exp",
     "Interval",
+    "Ordered",
+    "Simplex",
     "Stacked",
     "TransformedLogDensity",
     "TransformedDistribution",
@@ -157,6 +159,72 @@ class Interval(Bijector):
             + jax.nn.log_sigmoid(z)
             + jax.nn.log_sigmoid(-z)
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class Ordered(Bijector):
+    """Strictly increasing vectors (Stan's ``ordered`` type): ``x₁ = z₁``,
+    ``x_k = x_{k−1} + exp(z_k)``. Block bijector — apply to a whole
+    parameter block (e.g. ordered cutpoints), not elementwise; the
+    ``forward_log_det`` vector sums to the true log-Jacobian
+    ``Σ_{k≥2} z_k``."""
+
+    def forward(self, z):
+        return jnp.cumsum(
+            jnp.concatenate([z[:1], jnp.exp(z[1:])])
+        )
+
+    def inverse(self, x):
+        return jnp.concatenate([x[:1], jnp.log(jnp.diff(x))])
+
+    def forward_log_det(self, z):
+        return jnp.concatenate([jnp.zeros_like(z[:1]), z[1:]])
+
+
+@dataclasses.dataclass(frozen=True)
+class Simplex(Bijector):
+    """Stick-breaking simplex transform (Stan reference manual §10.7):
+    ``z`` of length m ↔ the **first m coordinates** of an (m+1)-simplex
+    (the last coordinate is ``1 − Σx``, stored implicitly so the block
+    keeps the same length in both spaces). ``w_k = σ(z_k − log(m+1−k))``,
+    ``x_k = stick_k · w_k``, ``stick_{k+1} = stick_k(1 − w_k)``."""
+
+    def _offsets(self, m, dtype):
+        return jnp.log(jnp.arange(m, 0, -1).astype(dtype))
+
+    def forward(self, z):
+        u = z - self._offsets(z.shape[0], z.dtype)
+
+        def step(stick, uk):
+            xk = stick * jax.nn.sigmoid(uk)
+            return stick - xk, xk
+
+        _, x = jax.lax.scan(step, jnp.ones((), z.dtype), u)
+        return x
+
+    def inverse(self, x):
+        m = x.shape[0]
+        stick = 1.0 - jnp.concatenate(
+            [jnp.zeros((1,), x.dtype), jnp.cumsum(x)[:-1]]
+        )
+        w = x / stick
+        return (
+            jnp.log(w) - jnp.log1p(-w) + self._offsets(m, x.dtype)
+        )
+
+    def forward_log_det(self, z):
+        u = z - self._offsets(z.shape[0], z.dtype)
+
+        def step(stick, uk):
+            ld = (
+                jax.nn.log_sigmoid(uk)
+                + jax.nn.log_sigmoid(-uk)
+                + jnp.log(stick)
+            )
+            return stick * jax.nn.sigmoid(-uk), ld
+
+        _, lds = jax.lax.scan(step, jnp.ones((), z.dtype), u)
+        return lds
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,6 +1,7 @@
 from pathfinder_tpu.models.bayes import (
     BayesModel,
     Beta,
+    Dirichlet,
     Exponential,
     HalfNormal,
     LogNormal,
@@ -32,6 +33,7 @@ __all__ = [
     "Uniform",
     "Beta",
     "StudentT",
+    "Dirichlet",
     "LogDensity",
     "as_log_density",
     "from_pytree_logp",

@@ -40,6 +40,7 @@ from pathfinder_tpu.integrations.transforms import (
     Exp,
     Identity,
     Interval,
+    Simplex,
     Stacked,
     TransformedLogDensity,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "Uniform",
     "Beta",
     "StudentT",
+    "Dirichlet",
     "BayesModel",
 ]
 
@@ -192,6 +194,51 @@ class StudentT(Distribution):
 
     def sample(self, key, shape):
         return self.loc + self.scale * jax.random.t(key, self.df, shape)
+
+
+class Dirichlet(Distribution):
+    """Dirichlet(α) over the (len(α)−1)-dimensional representation of the
+    simplex: the parameter block stores the **first len(α)−1 coordinates**
+    (the last is ``1 − Σx``, the :class:`Simplex` bijector's convention).
+    Declare with the matching block size:
+    ``{"w": (Dirichlet([a1, ..., aK]), K - 1)}``."""
+
+    def __init__(self, alpha):
+        self.alpha = tuple(float(a) for a in alpha)
+
+    def __hash__(self):
+        return hash(("Dirichlet", self.alpha))
+
+    def __eq__(self, other):
+        return isinstance(other, Dirichlet) and self.alpha == other.alpha
+
+    @property
+    def size(self) -> int:
+        return len(self.alpha) - 1
+
+    @property
+    def bijector(self) -> Bijector:
+        return Simplex()
+
+    def log_prob(self, x):
+        # x: the first K-1 simplex coordinates; returns the BLOCK total
+        # (BayesModel.logprior sums, so a scalar is fine)
+        from jax.scipy.special import gammaln
+
+        a = jnp.asarray(self.alpha, x.dtype)
+        x_last = 1.0 - jnp.sum(x)
+        logx = jnp.concatenate([jnp.log(x), jnp.log(x_last)[None]])
+        log_beta = jnp.sum(gammaln(a)) - gammaln(jnp.sum(a))
+        return jnp.sum((a - 1.0) * logx) - log_beta
+
+    def sample(self, key, shape):
+        if shape != (self.size,):
+            raise ValueError(
+                f"Dirichlet block must have size {self.size} "
+                f"(= len(alpha) - 1), got shape {shape}"
+            )
+        full = jax.random.dirichlet(key, jnp.asarray(self.alpha))
+        return full[: self.size]
 
 
 def _normalize_priors(priors) -> Tuple[Tuple[str, Distribution, int], ...]:

@@ -421,3 +421,60 @@ def test_eight_schools_noncentered_end_to_end():
     theta_mean = theta.mean(axis=0)
     pull = np.abs(theta_mean - mu) / np.maximum(np.abs(np.asarray(y) - mu), 1e-9)
     assert np.all(pull < 1.0), pull  # every school shrinks toward the pooled mean
+
+
+def test_ordered_and_simplex_bijectors():
+    """Block bijectors: round-trip exactness and log-det-Jacobian vs the
+    autodiff determinant (the same contract the Stacked/Interval test
+    checks, extended to the non-elementwise transforms)."""
+    from pathfinder_tpu.integrations.transforms import Ordered, Simplex
+
+    z = jnp.asarray([0.3, -1.2, 0.5, 2.0, -0.7])
+    for bij in [Ordered(), Simplex()]:
+        x = bij.forward(z)
+        # round trip
+        np.testing.assert_allclose(
+            np.asarray(bij.inverse(x)), np.asarray(z), rtol=1e-5, atol=1e-6
+        )
+        # log|det J| vs autodiff
+        J = jax.jacobian(bij.forward)(z)
+        _, logdet_ad = jnp.linalg.slogdet(J)
+        np.testing.assert_allclose(
+            float(jnp.sum(bij.forward_log_det(z))), float(logdet_ad),
+            rtol=1e-5,
+        )
+    # constraint satisfaction
+    xo = Ordered().forward(z)
+    assert np.all(np.diff(np.asarray(xo)) > 0)
+    xs = Simplex().forward(z)
+    assert np.all(np.asarray(xs) > 0) and float(jnp.sum(xs)) < 1.0
+
+
+def test_dirichlet_multinomial_conjugate_recovery():
+    """Dirichlet prior + multinomial counts: the posterior is
+    Dirichlet(alpha + n) in closed form — pathfinder on the BayesModel must
+    recover its mean for every simplex coordinate."""
+    from pathfinder_tpu.models.bayes import Dirichlet
+
+    alpha = np.array([2.0, 3.0, 1.5, 4.0])
+    counts = np.array([20.0, 5.0, 12.0, 40.0])
+
+    def loglik(p):
+        w_first = p["w"]  # first K-1 simplex coords
+        w_last = 1.0 - jnp.sum(w_first)
+        logw = jnp.concatenate([jnp.log(w_first), jnp.log(w_last)[None]])
+        return jnp.sum(jnp.asarray(counts) * logw)
+
+    model = BayesModel({"w": (Dirichlet(alpha), 3)}, loglik)
+    res = multipathfinder(model, 4000, key=jax.random.key(0), nruns=8,
+                          maxiters=100, importance_denominator="mixture")
+    w = np.asarray(res.draws_transformed["w"])  # (ndraws, 3)
+    w_full = np.concatenate([w, (1.0 - w.sum(axis=1))[:, None]], axis=1)
+    post_alpha = alpha + counts
+    mean_true = post_alpha / post_alpha.sum()
+    sd_true = np.sqrt(
+        mean_true * (1 - mean_true) / (post_alpha.sum() + 1.0)
+    )
+    err = np.abs(w_full.mean(axis=0) - mean_true) / sd_true
+    assert np.all(err < 1.0), (w_full.mean(axis=0), mean_true, err)
+    assert np.all(w_full > 0) and np.allclose(w_full.sum(axis=1), 1.0, atol=1e-5)
