@@ -47,6 +47,9 @@ from pathfinder_tpu.integrations.transforms import (
 
 __all__ = [
     "Normal",
+    "Cauchy",
+    "HalfCauchy",
+    "Gamma",
     "HalfNormal",
     "LogNormal",
     "Exponential",
@@ -170,6 +173,58 @@ class Beta(Distribution):
 
     def sample(self, key, shape):
         return jax.random.beta(key, self.a, self.b, shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class Gamma(Distribution):
+    """Shape-rate parameterization (Stan's convention)."""
+
+    concentration: float = 1.0
+    rate: float = 1.0
+    bijector: Bijector = Exp()
+
+    def log_prob(self, x):
+        from jax.scipy.special import gammaln
+
+        a, b = self.concentration, self.rate
+        return (
+            a * math.log(b)
+            - gammaln(a)
+            + (a - 1.0) * jnp.log(x)
+            - b * x
+        )
+
+    def sample(self, key, shape):
+        return jax.random.gamma(key, self.concentration, shape) / self.rate
+
+
+@dataclasses.dataclass(frozen=True)
+class Cauchy(Distribution):
+    loc: float = 0.0
+    scale: float = 1.0
+    bijector: Bijector = Identity()
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -math.log(math.pi * self.scale) - jnp.log1p(z * z)
+
+    def sample(self, key, shape):
+        return self.loc + self.scale * jax.random.cauchy(key, shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class HalfCauchy(Distribution):
+    """The weakly-informative scale prior of Gelman (2006)."""
+
+    scale: float = 1.0
+    bijector: Bijector = Exp()
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return math.log(2.0 / (math.pi * self.scale)) - jnp.log1p(z * z)
+
+    def sample(self, key, shape):
+        return self.scale * jnp.abs(jax.random.cauchy(key, shape))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -478,3 +478,30 @@ def test_dirichlet_multinomial_conjugate_recovery():
     err = np.abs(w_full.mean(axis=0) - mean_true) / sd_true
     assert np.all(err < 1.0), (w_full.mean(axis=0), mean_true, err)
     assert np.all(w_full > 0) and np.allclose(w_full.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_gamma_cauchy_halfcauchy_log_probs_match_scipy():
+    import scipy.stats as st
+    from pathfinder_tpu.models.bayes import Cauchy, Gamma, HalfCauchy
+
+    x = np.asarray([0.3, 1.7, 0.9])
+    checks = [
+        (Gamma(2.5, 1.7), st.gamma(2.5, scale=1 / 1.7)),
+        (Cauchy(0.4, 1.2), st.cauchy(0.4, 1.2)),
+        (HalfCauchy(2.0), st.halfcauchy(scale=2.0)),
+    ]
+    for dist, ref in checks:
+        np.testing.assert_allclose(
+            np.asarray(dist.log_prob(jnp.asarray(x))),
+            ref.logpdf(x),
+            rtol=1e-6,
+            err_msg=repr(dist),
+        )
+    # prior sampling sanity (supports + rough scale)
+    for dist in [Gamma(2.5, 1.7), HalfCauchy(2.0)]:
+        s = np.asarray(dist.sample(jax.random.key(0), (4000,)))
+        assert np.all(s > 0)
+    np.testing.assert_allclose(
+        np.median(np.asarray(Cauchy(0.4, 1.2).sample(jax.random.key(1), (20000,)))),
+        0.4, atol=0.05,
+    )
