@@ -307,7 +307,16 @@ def _normalize_priors(priors) -> Tuple[Tuple[str, Distribution, int], ...]:
         if isinstance(spec, tuple):
             dist, size = spec
         else:
-            dist, size = spec, 1
+            dist = spec
+            size = getattr(dist, "size", 1)  # block dists auto-size
+        # block distributions (Dirichlet, …) fix their own block size —
+        # declaring a different one would silently mis-slice the flat vector
+        required = getattr(dist, "size", None)
+        if required is not None and int(size) != int(required):
+            raise ValueError(
+                f"prior {name!r} ({type(dist).__name__}) requires block "
+                f"size {required}, got {size}"
+            )
         out.append((name, dist, int(size)))
     return tuple(out)
 

@@ -505,3 +505,14 @@ def test_gamma_cauchy_halfcauchy_log_probs_match_scipy():
         np.median(np.asarray(Cauchy(0.4, 1.2).sample(jax.random.key(1), (20000,)))),
         0.4, atol=0.05,
     )
+
+
+def test_dirichlet_block_size_validation():
+    from pathfinder_tpu.models.bayes import Dirichlet
+
+    # auto-sizes without an explicit block size
+    m = BayesModel({"w": Dirichlet([1.0, 2.0, 3.0])})
+    assert m.dim == 2
+    # wrong explicit size raises instead of silently mis-slicing
+    with pytest.raises(ValueError, match="block size 2"):
+        BayesModel({"w": (Dirichlet([1.0, 2.0, 3.0]), 3)})
