@@ -289,3 +289,30 @@ def test_resample_importance_denominator_override():
     with _pytest.raises(ValueError, match="importance_denominator"):
         resample(res, 50, key=jax.random.key(3),
                  importance_denominator="geometric")
+
+
+def test_mixture_denominator_under_mesh():
+    """The K²·N mixture logpdfs compile under a paths mesh (GSPMD inserts
+    the component all-gather); resampled draws match the unsharded run and
+    weights agree to reduction-order tolerance (the logsumexp across
+    sharded components is the one op without a fixed float order)."""
+    target = CorrelatedGaussian(10, seed=3)
+    kw = dict(key=jax.random.key(0), nruns=16, maxiters=60,
+              importance_denominator="mixture")
+    r_mesh = multipathfinder(target, 200, mesh=paths_mesh(), **kw)
+    r_none = multipathfinder(target, 200, mesh=None, **kw)
+    # the dense-precision target's per-path dot products tile differently
+    # at different batch widths, so x64 trajectories agree to ~1e-10, not
+    # bit-exactly; the resampling choices themselves must match
+    np.testing.assert_array_equal(
+        np.asarray(r_mesh.draw_component_ids),
+        np.asarray(r_none.draw_component_ids),
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mesh.draws), np.asarray(r_none.draws), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mesh.psis_result.weights),
+        np.asarray(r_none.psis_result.weights),
+        rtol=1e-5,
+    )
