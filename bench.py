@@ -250,14 +250,19 @@ def run_all_configs():
     )
     sd3 = np.concatenate([[3.0], np.full(100, np.exp(4.5 / 2))])
     me, se = _moment_errors(res.draws, np.zeros(101), sd3)
-    from pathfinder_tpu.multipath import resample as _resample
+    from pathfinder_tpu.multipath import _compute_psis_result
 
-    khat_mix3 = float(
-        _resample(
-            res, 400, key=jax.random.key(30),
-            importance_denominator="mixture",
-        ).psis_result.pareto_shape
-    )
+    def _khat_mixture(r):
+        # khat depends only on the stored K*N log-ratios — no need to
+        # resample draws to read it
+        return float(
+            _compute_psis_result(
+                r.logp, r.fit_distribution.components,
+                r.draws_per_component, denominator="mixture",
+            ).pareto_shape
+        )
+
+    khat_mix3 = _khat_mixture(res)
     results.append(
         ("multipath_8paths_funnel101_s", t,
          {"khat": round(float(res.psis_result.pareto_shape), 3),
@@ -273,15 +278,7 @@ def run_all_configs():
         jax.random.key(4),
     )
     extra4 = {"khat": round(float(res.psis_result.pareto_shape), 3)}
-    extra4["khat_mixture_denom"] = round(
-        float(
-            _resample(
-                res, 1000, key=jax.random.key(40),
-                importance_denominator="mixture",
-            ).psis_result.pareto_shape
-        ),
-        3,
-    )
+    extra4["khat_mixture_denom"] = round(_khat_mixture(res), 3)
     truth_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "logreg25_truth.npz",

@@ -301,6 +301,12 @@ def _warmup_schedule(num_warmup, init_buffer, term_buffer, base_window):
     (window sizes double; the final window absorbs the remainder)."""
     import numpy as np
 
+    if init_buffer < 0 or term_buffer < 0 or base_window < 1:
+        raise ValueError(
+            "warmup schedule requires init_buffer >= 0, term_buffer >= 0, "
+            f"base_window >= 1; got ({init_buffer}, {term_buffer}, "
+            f"{base_window})"
+        )
     if num_warmup < init_buffer + term_buffer + base_window:
         # Stan's rescaling for short warmups (windowed_adaptation.hpp)
         init_buffer = int(0.15 * num_warmup)

@@ -280,6 +280,7 @@ class Dirichlet(Distribution):
         # (BayesModel.logprior sums, so a scalar is fine)
         from jax.scipy.special import gammaln
 
+        x = jnp.atleast_1d(x)  # size-1 blocks arrive as 0-d scalars
         a = jnp.asarray(self.alpha, x.dtype)
         x_last = 1.0 - jnp.sum(x)
         logx = jnp.concatenate([jnp.log(x), jnp.log(x_last)[None]])

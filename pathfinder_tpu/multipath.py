@@ -117,6 +117,9 @@ class MultiPathfinderResult:
     draws_per_component: jax.Array  # (K, N, d) pooled candidate draws
     target: LogDensity = None
     transform: Any = None  # integrations hook (Turing-ext analog)
+    # which log-ratio denominator produced psis_result ("component" or
+    # "mixture") — lets resample reuse or recompute correctly
+    importance_denominator: str = "component"
 
     @property
     def nruns(self) -> int:
@@ -377,6 +380,7 @@ def multipathfinder(
         draws_per_component=draws_knd,
         target=target,
         transform=tld,
+        importance_denominator=importance_denominator,
     )
 
 
@@ -396,17 +400,24 @@ def resample(
     Reuses stored per-path draws (and the stored PSIS result) unless
     ``ndraws_per_run`` requests fresh draws from each component; recomputes
     PSIS when needed; preserves every other field
-    (``src/resample.jl:119-137``). Passing ``importance_denominator``
-    ("component" or "mixture") forces a PSIS recompute with that
-    denominator even when a stored result exists.
+    (``src/resample.jl:119-137``). The stored PSIS result is tagged with
+    the denominator that produced it (``result.importance_denominator``):
+    leaving ``importance_denominator=None`` reuses it as-is, and an
+    explicit value only triggers a recompute when it differs from the tag.
     """
     if key is None:
         key = jax.random.fold_in(result.key, 0x7E5A)
     components = result.fit_distribution.components
+    stored_denom = (
+        getattr(result, "importance_denominator", None) or "component"
+    )
+    effective_denom = importance_denominator or stored_denom
 
     if ndraws_per_run is None:
         draws_knd = result.draws_per_component
         psis_stored = result.psis_result
+        if effective_denom != stored_denom:
+            psis_stored = None  # recompute with the requested ratios
     else:
         key, sub = jax.random.split(key)
         K = components.mean.shape[0]
@@ -417,15 +428,13 @@ def resample(
         psis_stored = None
 
     if importance:
-        if importance_denominator is not None:
-            psis_stored = None  # force recompute with the requested ratios
         psis_used = (
             psis_stored
             if psis_stored is not None
             else _compute_psis_result(
                 result.logp, components, draws_knd,
                 use_pallas=result.config.use_pallas,
-                denominator=importance_denominator or "component",
+                denominator=effective_denom,
             )
         )
     else:
@@ -448,4 +457,5 @@ def resample(
         draw_component_ids=component_ids,
         draws_transformed=draws_transformed,
         psis_result=psis_used,
+        importance_denominator=effective_denom,
     )

@@ -134,9 +134,14 @@ def _construct(cls, fields: dict, type_name: str):
     if dataclasses.is_dataclass(cls):
         current = {f.name: f for f in dataclasses.fields(cls)}
         defaults = {
-            n: f.default
+            n: (
+                f.default
+                if f.default is not dataclasses.MISSING
+                else f.default_factory()
+            )
             for n, f in current.items()
             if f.default is not dataclasses.MISSING
+            or f.default_factory is not dataclasses.MISSING
         }
     else:  # NamedTuple
         current = dict.fromkeys(cls._fields)

@@ -316,3 +316,37 @@ def test_mixture_denominator_under_mesh():
         np.asarray(r_none.psis_result.weights),
         rtol=1e-5,
     )
+
+
+def test_resample_reuses_stored_psis_for_matching_denominator():
+    """An explicit denominator equal to the one that produced the stored
+    PSIS result reuses it (no recompute); the produced result carries the
+    effective denominator so chained resamples stay consistent."""
+    target = CorrelatedGaussian(6, seed=7)
+    res = multipathfinder(target, 100, key=jax.random.key(1), nruns=4,
+                          maxiters=60, importance_denominator="mixture")
+    assert res.importance_denominator == "mixture"
+
+    calls = {"n": 0}
+    logp0 = res.logp
+
+    def counting_logp(x):
+        calls["n"] += 1
+        return logp0(x)
+
+    import dataclasses as dc
+    res_counting = dc.replace(res, logp=counting_logp)
+    r2 = resample(res_counting, 50, key=jax.random.key(2),
+                  importance_denominator="mixture")
+    assert calls["n"] == 0  # stored mixture PSIS reused, logp never called
+    assert r2.importance_denominator == "mixture"
+    # chained resample with no explicit denominator keeps using the tag
+    r3 = resample(r2, 50, key=jax.random.key(3))
+    assert r3.importance_denominator == "mixture"
+    # switching denominators does recompute
+    r4 = resample(res, 50, key=jax.random.key(4),
+                  importance_denominator="component")
+    assert r4.importance_denominator == "component"
+    assert not np.allclose(
+        np.asarray(r4.psis_result.weights), np.asarray(res.psis_result.weights)
+    )

@@ -161,3 +161,17 @@ def test_nuts_funnel_mixes_into_neck():
     v = np.asarray(out.samples)[:, 0]
     assert v.min() < -2.0 and v.max() > 2.0
     assert np.asarray(out.diverging).mean() < 0.2
+
+
+def test_warmup_schedule_validation():
+    """Degenerate window parameters raise instead of hanging the host in
+    an infinite schedule loop (code-review regression)."""
+    vg = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x * x))
+    with pytest.raises(ValueError, match="base_window"):
+        nuts(jax.random.key(0), vg, None, jnp.zeros(2),
+             num_samples=10, num_warmup=500, adapt_mass_matrix=True,
+             base_window=0)
+    with pytest.raises(ValueError, match="base_window"):
+        nuts(jax.random.key(0), vg, None, jnp.zeros(2),
+             num_samples=10, num_warmup=500, adapt_mass_matrix=True,
+             init_buffer=-1)

@@ -516,3 +516,18 @@ def test_dirichlet_block_size_validation():
     # wrong explicit size raises instead of silently mis-slicing
     with pytest.raises(ValueError, match="block size 2"):
         BayesModel({"w": (Dirichlet([1.0, 2.0, 3.0]), 3)})
+
+
+def test_dirichlet_two_categories():
+    """len(alpha)==2 gives a size-1 block whose constrained value reaches
+    log_prob as a 0-d scalar — must not crash (code-review regression)."""
+    from pathfinder_tpu.models.bayes import Dirichlet
+
+    m = BayesModel({"w": Dirichlet([2.0, 3.0])})
+    assert m.dim == 1
+    lp = float(m.constrained_logp(jnp.asarray([0.4])))
+    # Dirichlet(2,3) density at (0.4, 0.6): Beta(2,3) pdf at 0.4
+    import scipy.stats as st
+    np.testing.assert_allclose(lp, st.beta(2.0, 3.0).logpdf(0.4), rtol=1e-6)
+    res = pathfinder(m, key=jax.random.key(0), ndraws=100, maxiters=40)
+    assert res.success
