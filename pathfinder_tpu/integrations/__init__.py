@@ -4,7 +4,7 @@ from pathfinder_tpu.integrations.hmc import (
     hmc_warm_start,
     leapfrog,
 )
-from pathfinder_tpu.integrations.nuts import NUTSResult, nuts, nuts_warm_start
+from pathfinder_tpu.integrations.nuts import NUTSResult, nuts, nuts_chains, nuts_warm_start
 from pathfinder_tpu.integrations.ppl import (
     draws_to_dict,
     from_numpyro,
@@ -26,6 +26,7 @@ __all__ = [
     "hmc",
     "hmc_warm_start",
     "nuts",
+    "nuts_chains",
     "nuts_warm_start",
     "NUTSResult",
     "from_numpyro",

@@ -33,7 +33,7 @@ from jax import lax
 
 from pathfinder_tpu.integrations.hmc import WoodburyMetric
 
-__all__ = ["nuts", "nuts_warm_start", "NUTSResult"]
+__all__ = ["nuts", "nuts_chains", "nuts_warm_start", "NUTSResult"]
 
 _MAX_DELTA_H = 1000.0  # divergence threshold (Stan's default)
 
@@ -507,6 +507,30 @@ def nuts(
         step_size=eps_final,
         inv_mass_diag=inv_mass_diag,
     )
+
+
+def nuts_chains(
+    key: jax.Array,
+    value_and_grad: Callable,
+    metric: Optional[WoodburyMetric],
+    x0s: jax.Array,
+    **kwargs,
+):
+    """Run one NUTS chain per row of ``x0s`` ((C, d), vmapped — all chains
+    integrate in lockstep on the device) and return ``(result, summary)``:
+    the chain-stacked :class:`NUTSResult` plus the
+    :func:`~pathfinder_tpu.utils.diagnostics.summarize` dict
+    (mean/sd/ess_bulk/ess_tail/rhat over the (C, N, d) sample stack) —
+    the multi-chain workflow of the reference's integration tests
+    (``test/integration/Turing/runtests.jl:111-176``) as one call."""
+    from pathfinder_tpu.utils.diagnostics import summarize
+
+    C = x0s.shape[0]
+    keys = jax.random.split(key, C)
+    out = jax.vmap(
+        lambda k, x0: nuts(k, value_and_grad, metric, x0, **kwargs)
+    )(keys, x0s)
+    return out, summarize(out.samples)
 
 
 def nuts_warm_start(

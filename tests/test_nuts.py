@@ -175,3 +175,28 @@ def test_warmup_schedule_validation():
         nuts(jax.random.key(0), vg, None, jnp.zeros(2),
              num_samples=10, num_warmup=500, adapt_mass_matrix=True,
              init_buffer=-1)
+
+
+def test_nuts_chains_with_summary():
+    """nuts_chains stacks C chains and returns the diagnostics summary;
+    warm-started chains on a well-conditioned target mix (rhat ~ 1,
+    healthy bulk and tail ESS)."""
+    d = 4
+    target = CorrelatedGaussian(d, seed=9)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=8, maxiters=60,
+                     history_length=d)
+    from pathfinder_tpu.integrations.nuts import nuts_chains
+
+    out, summary = nuts_chains(
+        jax.random.key(1), target.value_and_grad,
+        WoodburyMetric.from_result(res), res.draws[:, :4].T,
+        num_samples=1000, num_warmup=300,
+    )
+    assert out.samples.shape == (4, 1000, d)
+    assert summary["rhat"].shape == (d,)
+    assert np.all(np.asarray(summary["rhat"]) < 1.05)
+    assert np.all(np.asarray(summary["ess_bulk"]) > 300)
+    assert np.all(np.asarray(summary["ess_tail"]) > 200)
+    np.testing.assert_allclose(
+        np.asarray(summary["mean"]), target.mean, atol=0.2
+    )
