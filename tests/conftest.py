@@ -24,3 +24,20 @@ import jax
 # (legal as long as no backend has been initialized yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    With the full suite in one process (~400 compiled programs), jaxlib's
+    CPU compiler eventually segfaults inside backend_compile — observed
+    deterministically around the 150th test regardless of which test runs
+    there (raising the stack rlimit does not help, and any subset of the
+    suite passes). Dropping the pjit/executable caches between modules
+    keeps the compiler's accumulated state bounded; per-module recompiles
+    are the (small) price.
+    """
+    yield
+    jax.clear_caches()
