@@ -446,11 +446,17 @@ def nuts(
             cnt = jnp.where(win_end, 0.0, cnt)
             mean = jnp.where(win_end, jnp.zeros_like(mean), mean)
             m2 = jnp.where(win_end, jnp.zeros_like(m2), m2)
-            mu_r = jnp.log(10.0) + da_n[1]
+            # restart dual averaging seeded from the *averaged* log step size
+            # (log_eps_bar), which is stable against the last iteration's
+            # noise. Deviation from Stan, which re-runs its step-size
+            # heuristic against the new metric; the averaged value is the
+            # best available metric-free proxy and re-adapts within a few
+            # iterations.
+            mu_r = jnp.log(10.0) + da_n[2]
             da_n = tuple(
                 jnp.where(win_end, new, old)
                 for new, old in zip(
-                    (mu_r, da_n[1], da_n[1], jnp.zeros((), dtype),
+                    (mu_r, da_n[2], da_n[2], jnp.zeros((), dtype),
                      jnp.zeros((), dtype)),
                     da_n,
                 )

@@ -175,6 +175,16 @@ class Beta(Distribution):
         return jax.random.beta(key, self.a, self.b, shape)
 
 
+def _check_positive(dist: str, **params) -> None:
+    """Named validation for scalar distribution parameters (array-valued
+    parameters are accepted and validated elementwise by ``jnp.log``)."""
+    for name, value in params.items():
+        if isinstance(value, (int, float)) and not value > 0:
+            raise ValueError(
+                f"{dist}: parameter {name!r} must be positive, got {value}"
+            )
+
+
 @dataclasses.dataclass(frozen=True)
 class Gamma(Distribution):
     """Shape-rate parameterization (Stan's convention)."""
@@ -183,12 +193,17 @@ class Gamma(Distribution):
     rate: float = 1.0
     bijector: Bijector = Exp()
 
+    def __post_init__(self):
+        _check_positive(
+            "Gamma", concentration=self.concentration, rate=self.rate
+        )
+
     def log_prob(self, x):
         from jax.scipy.special import gammaln
 
         a, b = self.concentration, self.rate
         return (
-            a * math.log(b)
+            a * jnp.log(b)
             - gammaln(a)
             + (a - 1.0) * jnp.log(x)
             - b * x
@@ -204,9 +219,12 @@ class Cauchy(Distribution):
     scale: float = 1.0
     bijector: Bijector = Identity()
 
+    def __post_init__(self):
+        _check_positive("Cauchy", scale=self.scale)
+
     def log_prob(self, x):
         z = (x - self.loc) / self.scale
-        return -math.log(math.pi * self.scale) - jnp.log1p(z * z)
+        return -math.log(math.pi) - jnp.log(self.scale) - jnp.log1p(z * z)
 
     def sample(self, key, shape):
         return self.loc + self.scale * jax.random.cauchy(key, shape)
@@ -219,9 +237,14 @@ class HalfCauchy(Distribution):
     scale: float = 1.0
     bijector: Bijector = Exp()
 
+    def __post_init__(self):
+        _check_positive("HalfCauchy", scale=self.scale)
+
     def log_prob(self, x):
         z = x / self.scale
-        return math.log(2.0 / (math.pi * self.scale)) - jnp.log1p(z * z)
+        return (
+            math.log(2.0 / math.pi) - jnp.log(self.scale) - jnp.log1p(z * z)
+        )
 
     def sample(self, key, shape):
         return self.scale * jnp.abs(jax.random.cauchy(key, shape))
@@ -234,6 +257,9 @@ class StudentT(Distribution):
     scale: float = 1.0
     bijector: Bijector = Identity()
 
+    def __post_init__(self):
+        _check_positive("StudentT", df=self.df, scale=self.scale)
+
     def log_prob(self, x):
         from jax.scipy.special import gammaln
 
@@ -242,8 +268,8 @@ class StudentT(Distribution):
         return (
             gammaln((nu + 1.0) / 2.0)
             - gammaln(nu / 2.0)
-            - 0.5 * math.log(nu * math.pi)
-            - math.log(self.scale)
+            - 0.5 * jnp.log(nu * math.pi)
+            - jnp.log(self.scale)
             - (nu + 1.0) / 2.0 * jnp.log1p(z * z / nu)
         )
 

@@ -440,7 +440,12 @@ def _mt_cubic_quad(stx, fx, dx, stp, fp, dp, clamp_disc):
     points ``stx`` and ``stp``: (cubic minimizer ingredients γ, p, q) with
     the discriminant clamped to ≥ 0 when ``clamp_disc`` (case 3's possibly
     minimizer-free cubic)."""
-    theta = 3.0 * (fx - fp) / (stp - stx) + dx + dp
+    # guard the (stp - stx) denominator: a trial landing exactly on stx
+    # (e.g. both clipped to alpha_min) must not poison the interpolants
+    # with inf/NaN — the safeguarded caller then just bisects
+    dstep = stp - stx
+    dstep = jnp.where(jnp.abs(dstep) > 0, dstep, 1e-32)
+    theta = 3.0 * (fx - fp) / dstep + dx + dp
     s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(dx)), jnp.abs(dp))
     s = jnp.maximum(s, 1e-32)
     disc = (theta / s) ** 2 - (dx / s) * (dp / s)
@@ -494,7 +499,8 @@ def _dcstep(stx, fx, dx, sty, fy, dy, stp, fp, dp, brackt, stmin, stmax):
     q1 = ((gamma1 - dx) + gamma1) + dp
     r1 = p1 / jnp.where(jnp.abs(q1) > 0, q1, 1e-32)
     stpc1 = stx + r1 * (stp - stx)
-    denq1 = (fx - fp) / (stp - stx) + dx
+    dstep1 = jnp.where(jnp.abs(stp - stx) > 0, stp - stx, 1e-32)
+    denq1 = (fx - fp) / dstep1 + dx
     stpq1 = stx + (dx / jnp.where(jnp.abs(denq1) > 0, denq1, 1e-32)) / 2.0 * (
         stp - stx
     )

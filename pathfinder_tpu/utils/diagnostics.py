@@ -124,18 +124,20 @@ def _ess_quantile(xd, prob):
     tail-resolution measure of Vehtari et al. (2021) §4.3."""
     q = jnp.quantile(xd, prob)
     ind = (xd <= q).astype(jnp.result_type(float))
-    # a constant indicator (all/none below q) has no autocorrelation
-    # information; its ESS is the full sample size by convention
-    C, N = xd.shape
+    # a constant indicator (all/none below q) carries no tail-resolution
+    # information; report NaN (the ArviZ/posterior convention) rather than
+    # a spuriously maximal ESS for heavily tied or near-constant chains
     degenerate = (ind.std() == 0)
-    return jnp.where(degenerate, float(C * N), _ess_one(ind))
+    return jnp.where(degenerate, jnp.nan, _ess_one(ind))
 
 
 def ess_tail(samples: jax.Array) -> jax.Array:
     """Tail ESS: min of the 5%- and 95%-quantile indicator ESS per
     dimension for ``(chains, samples, dim)`` (Vehtari et al. 2021; the
     ArviZ ``ess_tail`` convention). Low tail ESS with fine bulk ESS means
-    the chains resolve the center but not the tails."""
+    the chains resolve the center but not the tails. NaN when a quantile
+    indicator is constant (heavily tied / near-constant draws — tail
+    resolution is undefined there)."""
     x = _split_chains(jnp.asarray(samples))
 
     def one(xd):  # (C, N)
