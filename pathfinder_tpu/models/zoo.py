@@ -140,4 +140,41 @@ def HierarchicalGaussian(dim: int = 1000, seed: int = 0) -> LogDensity:
     return LogDensity(logp=logp, dim=dim)
 
 
+def hierarchical_gaussian_truth(dim: int, seed: int = 0):
+    """Exact posterior moments of :func:`HierarchicalGaussian` by 1-D
+    quadrature: θ is conditionally Gaussian given ``log_tau`` and the
+    ``log_tau`` marginal is one-dimensional, so every moment reduces to an
+    integral over ``log_tau`` — machine-precision ground truth (the
+    truth-anchored referee for the bench's moment-error columns and the
+    NUTS validation tests; no MCMC needed).
+
+    Returns ``(mean (dim,), sd (dim,))`` ordered ``[log_tau, theta...]``.
+    """
+    d = dim
+    rng = np.random.default_rng(seed)
+    obs = rng.standard_normal(d - 1)  # must match HierarchicalGaussian
+    S = float(np.sum(obs**2))
+    lt = np.linspace(-10.0, 10.0, 40001)
+    s2 = np.exp(lt)  # sigma^2
+    logw = (
+        -0.5 * lt**2
+        - 0.5 * ((d - 1) * np.log(2 * np.pi * (1.0 + s2)) + S / (1.0 + s2))
+    )
+    logw -= logw.max()
+    w = np.exp(logw)
+    w /= w.sum()
+    sig = np.sqrt(s2)
+    mean_lt = float(np.sum(w * lt))
+    var_lt = float(np.sum(w * (lt - mean_lt) ** 2))
+    A = float(np.sum(w * sig / (1.0 + s2)))  # E[sigma/(1+sigma^2)]
+    B = float(np.sum(w / (1.0 + s2)))  # E[1/(1+sigma^2)]
+    C = float(np.sum(w * s2 / (1.0 + s2) ** 2))  # E[sigma^2/(1+sigma^2)^2]
+    mean_theta = obs * A
+    var_theta = B + obs**2 * C - (obs * A) ** 2
+    mean = np.concatenate([[mean_lt], mean_theta])
+    sd = np.sqrt(np.concatenate([[var_lt], var_theta]))
+    return mean, sd
+
+
 __all__.append("HierarchicalGaussian")
+__all__.append("hierarchical_gaussian_truth")

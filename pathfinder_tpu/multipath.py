@@ -43,21 +43,17 @@ def _select_component_fits(states: SinglePathState) -> MvNormal:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def _log_importance_ratios_fit(
-    components: MvNormal, draws_knd: jax.Array, use_pallas: bool = False
-):
+@jax.jit
+def _log_importance_ratios_fit(components: MvNormal, draws_knd: jax.Array):
     """logq of each draw under *its own* component (not the mixture!) —
     reference semantics at ``src/resample.jl:81-89``."""
-    return jax.vmap(lambda c, dk: c.logpdf(dk.T, use_pallas=use_pallas))(
+    return jax.vmap(lambda c, dk: c.logpdf(dk.T))(
         components, draws_knd
     )
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def _log_importance_ratios_mixture(
-    components: MvNormal, draws_knd: jax.Array, use_pallas: bool = False
-):
+@jax.jit
+def _log_importance_ratios_mixture(components: MvNormal, draws_knd: jax.Array):
     """logq of each draw under the full uniform mixture: ``logsumexp_k'
     logq_k'(x) − log K``. The proposal the pooled draws are *actually*
     distributed as, so the importance weights have provably no more
@@ -69,7 +65,7 @@ def _log_importance_ratios_mixture(
     K, N, d = draws_knd.shape
     flat = draws_knd.reshape(K * N, d)
     logq_all = jax.vmap(
-        lambda c: c.logpdf(flat.T, use_pallas=use_pallas)
+        lambda c: c.logpdf(flat.T)
     )(components)  # (K components, K*N draws)
     logq_mix = jax.scipy.special.logsumexp(logq_all, axis=0) - jnp.log(K)
     return logq_mix.reshape(K, N)
@@ -77,7 +73,7 @@ def _log_importance_ratios_mixture(
 
 def _compute_psis_result(
     logp: Callable, components: MvNormal, draws_knd: jax.Array,
-    use_pallas: bool = False, denominator: str = "component",
+    denominator: str = "component",
 ) -> PSISResult:
     """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``).
 
@@ -86,10 +82,10 @@ def _compute_psis_result(
     weights, better Pareto-k̂ — see
     :func:`_log_importance_ratios_mixture`)."""
     if denominator == "component":
-        log_q = _log_importance_ratios_fit(components, draws_knd, use_pallas)
+        log_q = _log_importance_ratios_fit(components, draws_knd)
     elif denominator == "mixture":
         log_q = _log_importance_ratios_mixture(
-            components, draws_knd, use_pallas
+            components, draws_knd
         )
     else:
         raise ValueError(f"unknown importance_denominator {denominator!r}")
@@ -352,7 +348,7 @@ def multipathfinder(
 
     psis_result = (
         _compute_psis_result(
-            target.logp, components, draws_knd, use_pallas=config.use_pallas,
+            target.logp, components, draws_knd,
             denominator=importance_denominator,
         )
         if importance
@@ -433,7 +429,6 @@ def resample(
             if psis_stored is not None
             else _compute_psis_result(
                 result.logp, components, draws_knd,
-                use_pallas=result.config.use_pallas,
                 denominator=effective_denom,
             )
         )

@@ -46,11 +46,10 @@ class ELBOEstimate(NamedTuple):
 
 def elbo_and_samples(
     key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int,
-    use_pallas: bool = False,
 ) -> ELBOEstimate:
     """One candidate's ELBO from ``ndraws`` fused draws (parity:
     ``elbo_and_samples``, ``src/elbo.jl:12-20``)."""
-    draws, logq = dist.rand_and_logpdf(key, ndraws, use_pallas=use_pallas)
+    draws, logq = dist.rand_and_logpdf(key, ndraws)
     # cast: user targets may compute in higher precision than the draws
     logp_x = jax.vmap(logp, in_axes=1)(draws).astype(draws.dtype)
     logr = logp_x - logq
@@ -60,13 +59,12 @@ def elbo_and_samples(
     return ELBOEstimate(elbo, se, draws, logp_x, logq, logr)
 
 
-def elbo_stats(key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int,
-               use_pallas: bool = False):
+def elbo_stats(key: jax.Array, logp: Callable, dist: MvNormal, ndraws: int):
     """Compact (value, std_err) ELBO estimate — the draws are NOT retained;
     they are deterministically replayable from the same key via
     :func:`elbo_and_samples` (pure-functional PRNG = free checkpoint/replay,
     replacing the reference's stored per-candidate draw matrices)."""
-    est = elbo_and_samples(key, logp, dist, ndraws, use_pallas=use_pallas)
+    est = elbo_and_samples(key, logp, dist, ndraws)
     return est.value, est.std_err
 
 
@@ -79,7 +77,6 @@ def maximize_elbo_chunked(
     ndraws: int,
     valid_mask: jax.Array,
     dtype=jnp.float32,
-    use_pallas: bool = False,
 ):
     """Chunked ELBO maximization: candidates are materialized ``chunk_size``
     at a time by ``make_chunk_dists(candidate_indices) -> batched MvNormal``
@@ -110,7 +107,7 @@ def maximize_elbo_chunked(
         dists = make_chunk_dists(idxs)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
         return jax.vmap(
-            lambda k, dst: elbo_stats(k, logp, dst, ndraws, use_pallas=use_pallas)
+            lambda k, dst: elbo_stats(k, logp, dst, ndraws)
         )(keys, dists)
 
     def cond(carry):

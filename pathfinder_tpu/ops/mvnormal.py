@@ -48,55 +48,30 @@ class MvNormal:
     def dtype(self):
         return self.mean.dtype
 
-    def _pallas_ok(self) -> bool:
-        # the fused Pallas kernels specialize to diagonal A with a nonempty
-        # low-rank part (the algorithm's own hot path)
-        f = self.cov.factor
-        return f.diag_A and f.X.shape[-1] > 0
-
-    def logpdf(self, x: jax.Array, use_pallas: bool = False) -> jax.Array:
+    def logpdf(self, x: jax.Array) -> jax.Array:
         """Log density at ``x`` of shape ``(n,)`` or ``(n, N)``.
 
         Parity: ``Distributions.logpdf`` routed through ``PDMats.invquad``
-        (``src/woodbury.jl:369-376``). ``use_pallas=True`` routes the
-        Mahalanobis computation through the fused Pallas kernel
-        (``ops/pallas/woodbury_kernels.whiten_sumsq``) on diagonal-A factors.
+        (``src/woodbury.jl:369-376``). XLA fuses the whiten + square-sum
+        chain into the surrounding computation; hand-written Pallas kernels
+        for this op were benchmarked (2× slower at bench sizes, 4–8% slower
+        even at d=4096/m=64/N=16k) and removed — see NOTES.md.
         """
-        if use_pallas and self._pallas_ok():
-            from pathfinder_tpu.ops.pallas.woodbury_kernels import whiten_sumsq
-
-            f = self.cov.factor
-            xm = x[:, None] if x.ndim == 1 else x
-            maha = whiten_sumsq(
-                xm, f.a_half, f.X, f.Ci, self.mean, use_pallas=True
-            )
-            if x.ndim == 1:
-                maha = maha[0]
-            return -0.5 * (self.dim * _LOG_2PI + self.cov.logdet() + maha)
         dx = x - (self.mean if x.ndim == 1 else self.mean[:, None])
         maha = self.cov.invquad(dx)
         return -0.5 * (self.dim * _LOG_2PI + self.cov.logdet() + maha)
 
-    def sample(self, key: jax.Array, ndraws: int, use_pallas: bool = False) -> jax.Array:
+    def sample(self, key: jax.Array, ndraws: int) -> jax.Array:
         """``(n, ndraws)`` draws: ``x = L u + μ``."""
-        if use_pallas and self._pallas_ok():
-            return self.rand_and_logpdf(key, ndraws, use_pallas=True)[0]
         u = jax.random.normal(key, (self.dim, ndraws), dtype=self.dtype)
         return self.cov.unwhiten(u) + self.mean[:, None]
 
-    def rand_and_logpdf(self, key: jax.Array, ndraws: int, use_pallas: bool = False):
+    def rand_and_logpdf(self, key: jax.Array, ndraws: int):
         """Fused sampling + log density (parity: ``rand_and_logpdf``,
-        ``src/mvnormal.jl:24-39``). Returns ``(draws (n, ndraws), logq (ndraws,))``.
-        ``use_pallas=True`` routes through the fused Pallas kernel
-        (``ops/pallas/woodbury_kernels.sample_and_logq``)."""
+        ``src/mvnormal.jl:24-39``). Returns ``(draws (n, ndraws), logq
+        (ndraws,))`` — logq from the already-drawn whitened noise, no
+        second solve."""
         u = jax.random.normal(key, (self.dim, ndraws), dtype=self.dtype)
-        if use_pallas and self._pallas_ok():
-            from pathfinder_tpu.ops.pallas.woodbury_kernels import sample_and_logq
-
-            f = self.cov.factor
-            return sample_and_logq(
-                u, f.a_half, f.X, f.C, self.mean, f.log_det, use_pallas=True
-            )
         unormsq = jnp.sum(u * u, axis=0)
         x = self.cov.unwhiten(u) + self.mean[:, None]
         logq = -0.5 * (self.dim * _LOG_2PI + self.cov.logdet() + unormsq)

@@ -77,12 +77,13 @@ class PathfinderConfig(NamedTuple):
     # maxiters >> trajectory length — measured 83->63 ms at the headline
     # bench going 64->8)
     # trajectory optimizer (the reference accepts any Optimization.jl
-    # optimizer, src/singlepath.jl:120-123; here the pluggable axis is the
-    # loop structure). Only "lbfgs" ships: an eval-driven alternative
-    # ("one batched eval per loop step") was built and benchmarked in
-    # rounds 1-2 — at most 1-4% faster even on an expensive logp
-    # (logreg n=50k: 58.3 vs 59.1 ms) — and was removed as not worth its
-    # 391 LoC; see NOTES.md
+    # optimizer and tests BFGS/ConjugateGradient/NLopt,
+    # src/singlepath.jl:120-123, test/optimize.jl:104-135). "lbfgs"
+    # (default) or "cg" (PR+ nonlinear conjugate gradient,
+    # ops/cg.minimize_cg_trace) — the fit/ELBO stages consume only the
+    # emitted trace, so any optimizer that records a trajectory plugs in.
+    # An eval-driven fused L-BFGS alternative was built, benchmarked at
+    # ≤4% gain, and removed in round 2; see NOTES.md
     optimizer: str = "lbfgs"
     # line search: "hager_zhang" (approximate Wolfe + secant², matching the
     # reference default LineSearches.HagerZhang, src/Pathfinder.jl:25-35),
@@ -91,11 +92,6 @@ class PathfinderConfig(NamedTuple):
     # >0: emit a host-callback progress line every N optimizer iterations
     # (the reference's per-iteration ProgressLogging, src/optimize.jl:91-92)
     progress_every: int = 0
-    # route the Woodbury sample/logpdf hot path through the fused Pallas TPU
-    # kernels (ops/pallas/woodbury_kernels). Off by default: measured at
-    # parity with XLA's own fusion on v5e — one switch away for re-measuring
-    # (BASELINE north-star names fused Pallas kernels)
-    use_pallas: bool = False
 
 
 class SinglePathState(NamedTuple):
@@ -141,6 +137,10 @@ def pathfinder_core(
 
     if cfg.optimizer == "lbfgs":
         minimize = minimize_lbfgs_trace
+    elif cfg.optimizer == "cg":
+        from pathfinder_tpu.ops.cg import minimize_cg_trace
+
+        minimize = minimize_cg_trace
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
@@ -178,7 +178,6 @@ def pathfinder_core(
         ndraws=cfg.ndraws_elbo,
         valid_mask=cand_valid,
         dtype=trace.xs.dtype,
-        use_pallas=cfg.use_pallas,
     )
 
     n_valid = trace.num_valid - 1
@@ -191,17 +190,13 @@ def pathfinder_core(
         lambda leaf: leaf[0], make_chunk_dists(best_idx[None])
     )
     key_winner = jax.random.fold_in(key_elbo, best_idx)
-    winner_draws, _ = fit_dist.rand_and_logpdf(
-        key_winner, cfg.ndraws_elbo, use_pallas=cfg.use_pallas
-    )
+    winner_draws, _ = fit_dist.rand_and_logpdf(key_winner, cfg.ndraws_elbo)
     if cfg.ndraws <= cfg.ndraws_elbo:
         reused = winner_draws[:, : cfg.ndraws]
     else:
-        extra = fit_dist.sample(
-            key_extra, cfg.ndraws - cfg.ndraws_elbo, use_pallas=cfg.use_pallas
-        )
+        extra = fit_dist.sample(key_extra, cfg.ndraws - cfg.ndraws_elbo)
         reused = jnp.concatenate([winner_draws, extra], axis=1)
-    fresh = fit_dist.sample(key_extra, cfg.ndraws, use_pallas=cfg.use_pallas)
+    fresh = fit_dist.sample(key_extra, cfg.ndraws)
     draws = jnp.where(success, reused, fresh)
 
     return SinglePathState(

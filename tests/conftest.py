@@ -24,6 +24,16 @@ import jax
 # (legal as long as no backend has been initialized yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache for the suite: compiled CPU executables are
+# reused across the per-module jax.clear_caches() below AND across suite
+# runs (the in-memory caches are dropped but the on-disk cache survives),
+# cutting most of the recompile cost the segfault workaround introduced.
+# Keyed by jaxlib version + flags, so stale entries are never reused.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PATHFINDER_TEST_CACHE", "/tmp/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import pytest
 
 

@@ -96,6 +96,68 @@ def test_warm_start_exports():
             metric.to_blackjax()
 
 
+def test_to_blackjax_contract_with_mock(monkeypatch):
+    """Exercise ``to_blackjax`` against a mock of blackjax's
+    ``mcmc.metrics.Metric`` container (VERDICT r02 task 3: blackjax cannot
+    be installed here — zero egress). Pins (a) the Metric NamedTuple layout
+    ``(sample_momentum, kinetic_energy, check_turning)``, (b) momentum
+    covariance = M = W⁻¹, (c) kinetic energy vs dense, (d) the generalized
+    U-turn criterion vs its dense formula. The real-package branch of
+    ``test_warm_start_exports`` runs when blackjax is installed."""
+    import sys
+    import types
+    from typing import Callable, NamedTuple
+
+    class Metric(NamedTuple):  # blackjax.mcmc.metrics.Metric layout
+        sample_momentum: Callable
+        kinetic_energy: Callable
+        check_turning: Callable
+
+    fake_metrics = types.ModuleType("blackjax.mcmc.metrics")
+    fake_metrics.Metric = Metric
+    fake_mcmc = types.ModuleType("blackjax.mcmc")
+    fake_mcmc.metrics = fake_metrics
+    fake_blackjax = types.ModuleType("blackjax")
+    fake_blackjax.mcmc = fake_mcmc
+    monkeypatch.setitem(sys.modules, "blackjax", fake_blackjax)
+    monkeypatch.setitem(sys.modules, "blackjax.mcmc", fake_mcmc)
+    monkeypatch.setitem(sys.modules, "blackjax.mcmc.metrics", fake_metrics)
+
+    rng = np.random.default_rng(5)
+    metric, W_dense = make_metric(rng)
+    bj = metric.to_blackjax()
+    assert isinstance(bj, Metric)
+
+    # (b) momentum covariance ≈ M = W⁻¹
+    keys = jax.random.split(jax.random.key(7), 100_000)
+    ps = jax.vmap(bj.sample_momentum)(keys)
+    emp_cov = np.cov(np.asarray(ps).T)
+    np.testing.assert_allclose(
+        emp_cov, np.linalg.inv(W_dense), atol=0.05, rtol=0.15
+    )
+
+    # (c) kinetic energy (positional (momentum, position=None) signature)
+    p = rng.standard_normal(6)
+    np.testing.assert_allclose(
+        float(bj.kinetic_energy(jnp.asarray(p))),
+        0.5 * p @ W_dense @ p,
+        rtol=1e-6,
+    )
+
+    # (d) U-turn criterion against the dense formula on random triples
+    for i in range(20):
+        pl = rng.standard_normal(6)
+        pr = rng.standard_normal(6)
+        rho = pl + pr + rng.standard_normal(6)
+        expected = (rho @ W_dense @ pl <= 0) or (rho @ W_dense @ pr <= 0)
+        got = bool(
+            bj.check_turning(
+                jnp.asarray(pl), jnp.asarray(pr), jnp.asarray(rho)
+            )
+        )
+        assert got == expected, i
+
+
 def test_leapfrog_energy_conservation():
     d = 4
     target = StandardNormal(d)

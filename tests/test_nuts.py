@@ -200,3 +200,94 @@ def test_nuts_chains_with_summary():
     np.testing.assert_allclose(
         np.asarray(summary["mean"]), target.mean, atol=0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# Truth-anchored referee validation (VERDICT r02 task 4): the in-repo NUTS
+# vs machine-precision ground truth, breaking the end-to-end circularity
+# (previously NUTS was only checked on Gaussian/banana shapes and the
+# end-to-end test used NUTS warm-started by the fit under test). Methodology
+# = the reference's z-test + MCSE + Bonferroni approach
+# (test/integration/DynamicHMC/runtests.jl:75-142).
+# ---------------------------------------------------------------------------
+
+
+def test_nuts_truth_anchored_hierarchical():
+    """Standalone NUTS (identity start, windowed adaptation on) on the
+    quadrature-truth hierarchical target: per-coordinate z-test of the
+    posterior mean against exact truth with MCSE-based Bonferroni
+    tolerances, plus sd agreement."""
+    from pathfinder_tpu.models.zoo import (
+        HierarchicalGaussian,
+        hierarchical_gaussian_truth,
+    )
+
+    d = 16
+    target = HierarchicalGaussian(d, seed=0)
+    mean_true, sd_true = hierarchical_gaussian_truth(d, seed=0)
+
+    out = nuts(
+        jax.random.key(3), target.value_and_grad, None,
+        jnp.zeros(d), num_samples=4000, num_warmup=800,
+        adapt_mass_matrix=True,
+    )
+    xs = np.asarray(out.samples)  # (N, d)
+    assert np.asarray(out.diverging).mean() < 0.02
+    ess = np.asarray(ess_bulk(xs[None]))
+    assert np.all(ess > 100), ess.min()
+
+    # z-test per coordinate: |mean_hat - mean_true| < z * MCSE,
+    # MCSE = sd_true / sqrt(ESS); Bonferroni at level 0.01 over d tests
+    from scipy import stats as st
+
+    z = st.norm.ppf(1 - 0.01 / (2 * d))  # ≈ 3.4 at d=16
+    mcse = sd_true / np.sqrt(ess)
+    zerr = np.abs(xs.mean(axis=0) - mean_true) / mcse
+    assert np.all(zerr < z), (zerr.max(), z)
+
+    # sd agreement: MCSE(sd) ≈ sd/sqrt(2 ESS) for near-Gaussian marginals
+    sd_hat = xs.std(axis=0)
+    sd_tol = z * sd_true / np.sqrt(2 * ess) + 0.02 * sd_true
+    assert np.all(np.abs(sd_hat - sd_true) < sd_tol)
+
+
+def test_nuts_truth_anchored_conjugate():
+    """NUTS vs an exactly-known correlated Gaussian posterior (Bayesian
+    linear regression with known noise — conjugate, Σ* = (XᵀX+I)⁻¹,
+    μ* = Σ*Xᵀy): mean z-test + sd and cross-correlation agreement."""
+    rng = np.random.default_rng(11)
+    n, d = 60, 8
+    X = rng.standard_normal((n, d))
+    beta_true = rng.standard_normal(d)
+    y = X @ beta_true + rng.standard_normal(n)
+    prec = X.T @ X + np.eye(d)
+    cov_true = np.linalg.inv(prec)
+    mu_true = cov_true @ (X.T @ y)
+    sd_true = np.sqrt(np.diag(cov_true))
+
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+
+    def logp(b):
+        r = yj - Xj @ b
+        return -0.5 * jnp.sum(r * r) - 0.5 * jnp.sum(b * b)
+
+    out = nuts(
+        jax.random.key(4), jax.value_and_grad(logp), None,
+        jnp.zeros(d), num_samples=4000, num_warmup=800,
+        adapt_mass_matrix=True,
+    )
+    xs = np.asarray(out.samples)
+    assert not np.any(np.asarray(out.diverging))
+    ess = np.asarray(ess_bulk(xs[None]))
+    assert np.all(ess > 200)
+
+    from scipy import stats as st
+
+    z = st.norm.ppf(1 - 0.01 / (2 * d))
+    zerr = np.abs(xs.mean(axis=0) - mu_true) / (sd_true / np.sqrt(ess))
+    assert np.all(zerr < z), (zerr.max(), z)
+    np.testing.assert_allclose(xs.std(axis=0), sd_true, rtol=0.1)
+    # correlation structure (not just marginals)
+    corr_hat = np.corrcoef(xs.T)
+    corr_true = cov_true / np.outer(sd_true, sd_true)
+    assert np.max(np.abs(corr_hat - corr_true)) < 0.1

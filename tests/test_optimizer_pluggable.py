@@ -21,6 +21,69 @@ def test_line_search_variants_reach_same_optimum():
         )
 
 
+def test_cg_optimizer_standard_normal_recovery():
+    """optimizer="cg" (PR+ nonlinear CG) through the full driver: exact
+    standard-normal recovery, the reference's any-optimizer acceptance
+    (``test/optimize.jl:104-135`` runs ConjugateGradient through the same
+    pipeline)."""
+    target = StandardNormal(5)
+    res = pathfinder(
+        target, key=jax.random.key(0), maxiters=30, optimizer="cg",
+        ndraws=100,
+    )
+    assert res.success
+    np.testing.assert_allclose(
+        res.fit_distribution.mean, np.zeros(5), atol=1e-5
+    )
+    # covariance of the winning fit ≈ I (the trace-derived L-BFGS fits
+    # only depend on the trajectory, whatever optimizer produced it)
+    cov = np.asarray(res.fit_distribution.cov.to_dense())
+    np.testing.assert_allclose(cov, np.eye(5), atol=1e-4)
+
+
+def test_cg_trace_contract():
+    """minimize_cg_trace emits the same OptimizationTrace contract as the
+    L-BFGS driver: logp view, index 0 = init, valid-count, monotone
+    increase in logp along accepted iterates."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.ops.cg import minimize_cg_trace
+
+    def logp(x):
+        return -0.5 * jnp.sum((x - 1.0) ** 2) * 3.0
+
+    x0 = jnp.asarray(np.full(6, -2.0), jnp.float32)
+    trace = minimize_cg_trace(
+        jax.value_and_grad(logp), x0, maxiters=40
+    )
+    nv = int(trace.num_valid)
+    assert nv >= 2
+    np.testing.assert_allclose(np.asarray(trace.xs[0]), np.asarray(x0))
+    lps = np.asarray(trace.log_densities[:nv])
+    assert np.all(np.diff(lps) > -1e-6)  # line search enforces decrease of -logp
+    np.testing.assert_allclose(
+        np.asarray(trace.xs[nv - 1]), np.ones(6), atol=1e-4
+    )
+    assert int(trace.num_fn_evals) >= nv
+
+
+def test_cg_on_correlated_gaussian():
+    """CG on an ill-conditioned quadratic still yields a usable fit
+    (it takes more iterations than L-BFGS; the fit stage's trace-derived
+    inverse-Hessians do the rest)."""
+    from pathfinder_tpu.models import CorrelatedGaussian
+
+    target = CorrelatedGaussian(8, seed=1)
+    res = pathfinder(
+        target, key=jax.random.key(2), maxiters=120, optimizer="cg",
+        ndraws_elbo=50,
+    )
+    assert res.success
+    np.testing.assert_allclose(
+        np.asarray(res.fit_distribution.mean), target.mean, atol=0.05
+    )
+
+
 def test_unknown_optimizer_raises():
     with pytest.raises(ValueError, match="unknown optimizer"):
         pathfinder(

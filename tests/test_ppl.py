@@ -351,6 +351,128 @@ def test_from_numpyro_plumbing_with_mock(monkeypatch):
     assert abs(float(jnp.mean(con["mu"])) - float(data.mean())) < 0.3
 
 
+def _install_fake_numpyro_full(monkeypatch):
+    """Strict stand-in for ``initialize_model`` covering the FULL contract
+    the adapter depends on (VERDICT r02 task 3 — NumPyro cannot be
+    installed in this zero-egress environment, so the mock is the contract
+    documentation):
+
+    - ``ModelInfo(param_info, potential_fn, postprocess_fn, model_trace)``
+      and ``ParamInfo(z, potential_energy, z_grad)`` namedtuple layouts;
+    - ``param_info.z``: dict of *unconstrained* site arrays with real
+      shapes — here a vector site (3,) plus a scalar, so ``ravel_pytree``
+      ordering and round-tripping is actually exercised;
+    - ``potential_fn``/``postprocess_fn`` receive ONE unbatched sample dict
+      (NumPyro applies them per-sample; callers vmap for batches) — the
+      fake asserts the unbatched shapes, so batched misuse fails loudly;
+    - ``postprocess_fn`` returns constrained sites PLUS deterministic
+      sites (NumPyro includes ``numpyro.deterministic`` values);
+    - ``initialize_model`` receives a typed PRNG key and the
+      ``model_args``/``model_kwargs`` keywords.
+    """
+    from collections import namedtuple
+
+    ModelInfo = namedtuple(
+        "ModelInfo",
+        ["param_info", "potential_fn", "postprocess_fn", "model_trace"],
+    )
+    ParamInfo = namedtuple("ParamInfo", ["z", "potential_energy", "z_grad"])
+
+    data = jnp.asarray([[1.0, 0.6], [0.8, 1.1], [1.2, 0.9]])  # (3 obs, 2)
+    seen = {}
+
+    def initialize_model(rng_key, model, model_args=(), model_kwargs=None,
+                         dynamic_args=False):
+        assert not dynamic_args
+        assert jnp.issubdtype(rng_key.dtype, jax.dtypes.prng_key), (
+            "initialize_model must receive a typed PRNG key"
+        )
+        seen["model_args"] = model_args
+        seen["model_kwargs"] = model_kwargs
+        # sites: beta (3,) with identity link, log_tau scalar with exp link
+        z0 = {
+            "beta": jnp.asarray([0.1, -0.1, 0.2]),
+            "log_tau": jnp.asarray(0.3),
+        }
+
+        def potential_fn(z):
+            assert set(z) == {"beta", "log_tau"}
+            assert z["beta"].shape == (3,), "potential_fn is per-sample"
+            assert z["log_tau"].shape == ()
+            beta, lt = z["beta"], z["log_tau"]
+            tau = jnp.exp(lt)
+            lp = (
+                -0.5 * jnp.sum(beta**2)
+                - 0.5 * (tau / 2.0) ** 2
+                + lt  # Jacobian of the exp link
+                - 0.5 * jnp.sum((data - beta[:2].sum() * tau) ** 2)
+            )
+            return -lp
+
+        def postprocess_fn(z):
+            assert z["beta"].shape == (3,), (
+                "postprocess_fn is per-sample (vmap for batches)"
+            )
+            tau = jnp.exp(z["log_tau"])
+            return {
+                "beta": z["beta"],
+                "tau": tau,
+                # deterministic site, as numpyro.deterministic would add
+                "tau_sq": tau**2,
+            }
+
+        trace = {
+            "beta": {"type": "sample", "value": z0["beta"]},
+            "log_tau": {"type": "sample", "value": z0["log_tau"]},
+        }
+        return ModelInfo(
+            ParamInfo(z0, None, None), potential_fn, postprocess_fn, trace
+        )
+
+    fake_util = types.ModuleType("numpyro.infer.util")
+    fake_util.initialize_model = initialize_model
+    fake_infer = types.ModuleType("numpyro.infer")
+    fake_infer.util = fake_util
+    fake_numpyro = types.ModuleType("numpyro")
+    fake_numpyro.infer = fake_infer
+    monkeypatch.setitem(sys.modules, "numpyro", fake_numpyro)
+    monkeypatch.setitem(sys.modules, "numpyro.infer", fake_infer)
+    monkeypatch.setitem(sys.modules, "numpyro.infer.util", fake_util)
+    return seen
+
+
+def test_from_numpyro_mock_full_contract(monkeypatch):
+    try:
+        import numpyro  # noqa: F401
+
+        pytest.skip("real NumPyro installed; mock test unnecessary")
+    except ImportError:
+        pass
+    seen = _install_fake_numpyro_full(monkeypatch)
+    from pathfinder_tpu.integrations.ppl import from_numpyro
+
+    nt = from_numpyro(lambda: None, "posarg", extra=7)
+    assert seen["model_args"] == ("posarg",)
+    assert seen["model_kwargs"] == {"extra": 7}
+    assert nt.target.dim == 4  # beta (3,) + log_tau ()
+    assert nt.init_point.shape == (4,)
+    # logp round-trips through ravel/unravel with the vector site intact
+    lp0 = float(nt.target.logp(nt.init_point))
+    assert np.isfinite(lp0)
+
+    res = pathfinder(nt.target, key=jax.random.key(0), ndraws=200,
+                     maxiters=60)
+    assert res.success
+    con = nt.constrain_draws(res.draws)
+    assert set(con) == {"beta", "tau", "tau_sq"}
+    assert con["beta"].shape == (200, 3)  # leading draws axis, site shape kept
+    assert con["tau"].shape == (200,)
+    assert np.all(np.asarray(con["tau"]) > 0)
+    np.testing.assert_allclose(
+        np.asarray(con["tau_sq"]), np.asarray(con["tau"]) ** 2, rtol=1e-5
+    )
+
+
 def test_from_numpyro_real():
     numpyro = pytest.importorskip("numpyro", reason="NumPyro not installed")
     import numpyro.distributions as dist
