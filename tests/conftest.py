@@ -47,7 +47,13 @@ def _clear_jax_caches_between_modules():
     there (raising the stack rlimit does not help, and any subset of the
     suite passes). Dropping the pjit/executable caches between modules
     keeps the compiler's accumulated state bounded; per-module recompiles
-    are the (small) price.
+    are the (small) price, mostly paid back by the persistent compile
+    cache configured above. A standalone repro was attempted
+    (``benchmarks/repro_jaxlib_segfault.py``: 500 scan+cholesky programs
+    compile fine), so the trigger is specific to the suite's large
+    programs; set ``PATHFINDER_KEEP_JAX_CACHES=1`` to disable this
+    workaround when re-testing on a newer jaxlib.
     """
     yield
-    jax.clear_caches()
+    if not os.environ.get("PATHFINDER_KEEP_JAX_CACHES"):
+        jax.clear_caches()
