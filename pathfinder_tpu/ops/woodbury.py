@@ -390,17 +390,16 @@ class WoodburyPDMat:
             a = self.A[i, j]
         return a + self.B[i] @ (self.D @ self.B[j])
 
-    def scale(self, c) -> "WoodburyPDMat":
-        """``W * c`` for positive scalar ``c``, keeping Woodbury form
-        (parity: ``*``, ``src/woodbury.jl:357-360``; the reference densifies
-        for ``c ≤ 0`` — here the caller must densify explicitly via
-        ``c * W.to_dense()``). A concrete non-positive ``c`` raises; a traced
-        non-positive ``c`` yields NaNs (detectable via ``is_finite_pd``)."""
+    def scale(self, c):
+        """``W * c``: positive scalar ``c`` keeps Woodbury form; a concrete
+        non-positive ``c`` returns the dense array ``c * to_dense()`` —
+        full parity with the reference (``*``, ``src/woodbury.jl:357-360``),
+        which also falls back to a plain matrix there (the result is no
+        longer positive definite, so no lazy form exists). A *traced*
+        non-positive ``c`` cannot change the output type and yields NaNs
+        (detectable via ``is_finite_pd``)."""
         if isinstance(c, (int, float)) and c <= 0:
-            raise ValueError(
-                "scale requires c > 0 to stay positive definite; use "
-                "c * W.to_dense() for non-positive scalars"
-            )
+            return c * self.to_dense()
         return WoodburyPDMat.from_parts(self.A * c, self.B, self.D * c)
 
     def __mul__(self, c):

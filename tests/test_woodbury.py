@@ -155,6 +155,15 @@ def test_woodbury_inv_and_scale():
     np.testing.assert_allclose(W3.to_dense(), 3.0 * W_dense, rtol=1e-10)
     np.testing.assert_allclose((2.0 * W).to_dense(), 2.0 * W_dense, rtol=1e-10)
 
+    # non-positive scalar densifies, exactly like the reference
+    # (src/woodbury.jl:357-360: a < 0 falls back to a * Matrix(W))
+    Wneg = W * -2.0
+    assert not isinstance(Wneg, WoodburyPDMat)
+    np.testing.assert_allclose(np.asarray(Wneg), -2.0 * W_dense, rtol=1e-10)
+    W0 = W.scale(0)
+    assert not isinstance(W0, WoodburyPDMat)
+    np.testing.assert_allclose(np.asarray(W0), 0.0 * W_dense)
+
 
 def test_astype_and_entry():
     rng = np.random.default_rng(31)
