@@ -65,13 +65,17 @@ def test_multipath_f32_khat_sane():
 
 
 def test_scale_guard():
+    """Non-positive scalar multiply densifies (reference parity,
+    ``src/woodbury.jl:357-360``) rather than staying in (now-indefinite)
+    Woodbury form."""
     from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 
     W = WoodburyPDMat.from_parts(
         jnp.ones(3), jnp.zeros((3, 0)), jnp.zeros((0, 0))
     )
-    with pytest.raises(ValueError, match="c > 0"):
-        W.scale(-1.0)
+    out = W.scale(-1.0)
+    assert not isinstance(out, WoodburyPDMat)
+    np.testing.assert_allclose(np.asarray(out), -np.eye(3))
 
 
 def test_throttled_progress_contract():
