@@ -158,6 +158,9 @@ def minimize_cg_trace(
             neg_vg, s.x, s.f, s.g, direction, alpha0,
             c1=c1, c2=c2, max_evals=max_ls_evals,
         )
+        # no per-lane done gating needed: JAX's batched while_loop
+        # select-masks the whole carry for finished lanes (see the same
+        # note in minimize_lbfgs_trace)
         nev = s.nev + ls.num_evals
 
         x_new = s.x + ls.step_size * direction

@@ -278,6 +278,12 @@ def minimize_lbfgs_trace(
             neg_vg, s.x, s.f, s.g, direction, alpha0,
             c1=c1, c2=c2, max_evals=max_ls_evals,
         )
+        # no per-lane done gating is needed under vmap/shard_map: JAX's
+        # while_loop batching rule select-masks the *entire carry* for lanes
+        # whose own cond is False, so a finished lane's state (including
+        # nev) is frozen even while its device group keeps iterating —
+        # verified empirically: traces and eval counts are bit-identical
+        # between unsharded and sharded runs for both optimizers
         nev = s.nev + ls.num_evals
 
         x_new = s.x + ls.step_size * direction

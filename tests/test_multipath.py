@@ -106,6 +106,44 @@ def test_determinism_across_mesh_shapes():
     )
 
 
+def test_determinism_across_mesh_shapes_cg_optimizer():
+    """The CG optimizer's extra carried state (previous direction / slope)
+    must not break the across-mesh-shapes determinism contract.
+
+    The trajectory (every iterate, valid count, eval count) and the ELBO
+    winner are bit-identical across mesh shapes — JAX's batched
+    ``while_loop`` select-masks the whole carry for finished lanes, so
+    no per-lane gating is needed in the loop body. The *draws* are only
+    identical up to the documented last-ulp matmul-tiling caveat
+    (different per-device batch widths can tile the sample-stage matmuls
+    differently; measured ~7e-9 here), which the CG trajectories happen
+    to expose while the L-BFGS shapes tile identically."""
+    mesh4 = paths_mesh(jax.devices()[:4])
+    r_none, _ = run_multi(key=7, nruns=8, optimizer="cg")
+    r_m4, _ = run_multi(key=7, nruns=8, mesh=mesh4, optimizer="cg")
+    assert np.any(np.asarray(r_none.states.success))
+    # algorithmic decisions: bitwise identical
+    np.testing.assert_array_equal(
+        np.asarray(r_none.states.trace.xs), np.asarray(r_m4.states.trace.xs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_none.states.trace.num_valid),
+        np.asarray(r_m4.states.trace.num_valid),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_none.states.num_fn_evals),
+        np.asarray(r_m4.states.num_fn_evals),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_none.states.fit_iteration),
+        np.asarray(r_m4.states.fit_iteration),
+    )
+    # draws: last-ulp tiling differences allowed (f32 scale)
+    np.testing.assert_allclose(
+        np.asarray(r_none.draws), np.asarray(r_m4.draws), rtol=0, atol=1e-5
+    )
+
+
 def test_mesh_padding_non_divisible():
     mesh4 = paths_mesh(jax.devices()[:4])
     res, _ = run_multi(key=6, nruns=6, mesh=mesh4)  # 6 paths on 4 devices

@@ -31,6 +31,21 @@ def test_singlepath_roundtrip(tmp_path):
     )
 
 
+def test_singlepath_roundtrip_cg_config(tmp_path):
+    """Non-default optimizer config (optimizer="cg") survives the
+    round-trip — the config string is part of the saved schema."""
+    target = StandardNormal(4)
+    res = pathfinder(target, key=jax.random.key(1), ndraws=20, maxiters=30,
+                     optimizer="cg")
+    p = str(tmp_path / "single_cg")
+    save_result(p, res)
+    loaded = load_result(p, fn=target)
+    assert loaded.config.optimizer == "cg"
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws), np.asarray(res.draws)
+    )
+
+
 def test_multipath_roundtrip_and_resample(tmp_path):
     target = StandardNormal(3)
     res = multipathfinder(
