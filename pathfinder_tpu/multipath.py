@@ -211,7 +211,51 @@ def multipathfinder(
     ``draws_transformed`` (for the pooled result and every per-path view)
     holds constrained draws, re-derived automatically by :func:`resample`
     (parity: ``ext/PathfinderTuringExt.jl:246-286``).
+
+    ``optimizer="auto"`` (beyond-reference) runs the full pipeline under
+    both ``"lbfgs"`` and ``"cg"`` and returns the result with the lower
+    Pareto-k̂ — which optimizer produces better-located components is
+    target-dependent while the ELBO cannot tell (measured; see
+    ``docs/examples/resampling.md``). Twice the cost; requires
+    ``importance=True``.
     """
+    if config_overrides.get("optimizer") == "auto":
+        # Run both trajectory optimizers and let the Pareto-k̂ diagnostic
+        # arbitrate (k̂ as a VI fit-quality diagnostic, Yao et al. 2018).
+        # Measured motivation: which optimizer yields better-located
+        # components is target-dependent (k̂ 2.02 lbfgs vs 0.99 cg on the
+        # d=1000 hierarchical bench target; 0.61 vs 4.56 on the 101-D
+        # funnel) while the ELBO cannot discriminate — see
+        # docs/examples/resampling.md. Costs two full runs.
+        if not importance:
+            raise ValueError(
+                "optimizer='auto' selects by Pareto-k̂ and therefore "
+                "requires importance=True"
+            )
+        shared = dict(
+            key=key, nruns=nruns, init=init, dim=dim, grad=grad,
+            ndraws_elbo=ndraws_elbo, ndraws_per_run=ndraws_per_run,
+            importance=importance,
+            importance_denominator=importance_denominator,
+            history_length=history_length, maxiters=maxiters,
+            ntries=ntries, init_scale=init_scale,
+            init_sampler=init_sampler, gtol=gtol, mesh=mesh, dtype=dtype,
+            progress=progress, transform=transform,
+        )
+        candidates = {
+            opt: multipathfinder(
+                fn, ndraws, **shared,
+                **{**config_overrides, "optimizer": opt},
+            )
+            for opt in ("lbfgs", "cg")
+        }
+
+        def _khat(r):
+            k = float(r.psis_result.pareto_shape)
+            return float("inf") if k != k else k  # NaN-safe
+
+        return candidates[min(candidates, key=lambda o: _khat(candidates[o]))]
+
     from pathfinder_tpu.integrations.transforms import (
         resolve_transform,
         transformed_outputs,

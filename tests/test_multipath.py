@@ -193,6 +193,29 @@ def test_retry_rounds_ride_the_mesh_deterministically():
     )
 
 
+def test_optimizer_auto_selects_by_khat():
+    """optimizer="auto" runs both optimizers and returns the lower-k̂
+    result (k̂ as fit diagnostic, Yao et al. 2018 — beyond-reference)."""
+    r_auto, _ = run_multi(key=11, nruns=6, optimizer="auto")
+    r_l, _ = run_multi(key=11, nruns=6, optimizer="lbfgs")
+    r_c, _ = run_multi(key=11, nruns=6, optimizer="cg")
+    k_auto = float(r_auto.psis_result.pareto_shape)
+    k_l = float(r_l.psis_result.pareto_shape)
+    k_c = float(r_c.psis_result.pareto_shape)
+    assert r_auto.config.optimizer in ("lbfgs", "cg")
+    assert k_auto == min(k_l, k_c)
+    # the returned result IS the winner's full result
+    winner = r_l if k_l <= k_c else r_c
+    np.testing.assert_array_equal(
+        np.asarray(r_auto.draws), np.asarray(winner.draws)
+    )
+
+
+def test_optimizer_auto_requires_importance():
+    with pytest.raises(ValueError, match="importance=True"):
+        run_multi(key=11, nruns=4, optimizer="auto", importance=False)
+
+
 def test_more_draws_than_pool_warns():
     with pytest.warns(UserWarning, match="More draws requested"):
         run_multi(ndraws=100, nruns=2, ndraws_per_run=10)
