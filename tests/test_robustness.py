@@ -70,3 +70,21 @@ def test_quadratic_extreme_scales_recover():
             np.abs(np.asarray(res.fit_distribution.mean)).max() < 1e-3 * scale
             + 1e-6
         ), scale
+
+
+@pytest.mark.parametrize("name", ["nan_pocket", "bounded_support", "plateau"])
+def test_pathological_targets_never_crash_cg(name):
+    """The CG optimizer shares the abort/retry/mask machinery — the key
+    failure geometries must be equally survivable under optimizer="cg"."""
+    logp = CASES[name]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = pathfinder(
+            logp, dim=4, key=jax.random.key(0), ndraws=16, maxiters=30,
+            ntries=3, optimizer="cg",
+        )
+    assert res.draws.shape == (4, 16)
+    if bool(res.success):
+        assert np.all(np.isfinite(np.asarray(res.draws))), name
+    n = int(res.optim_trace.num_valid)
+    assert np.all(np.isfinite(np.asarray(res.optim_trace.xs[:n]))), name
