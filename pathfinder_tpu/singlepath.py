@@ -141,6 +141,12 @@ def pathfinder_core(
         from pathfinder_tpu.ops.cg import minimize_cg_trace
 
         minimize = minimize_cg_trace
+    elif cfg.optimizer == "auto":
+        raise ValueError(
+            "optimizer='auto' is a multipathfinder feature (it selects by "
+            "the multipath Pareto-k̂ diagnostic); a single path has no "
+            "selection signal — pick 'lbfgs' or 'cg' explicitly"
+        )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
