@@ -108,6 +108,75 @@ def LogisticRegression(X, y, prior_scale: float = 10.0) -> LogDensity:
     return LogDensity(logp=logp, dim=d)
 
 
+def PoissonRegression(X, y, prior_scale: float = 5.0) -> LogDensity:
+    """Bayesian Poisson (log-link) regression posterior over coefficients —
+    a second GLM family next to :func:`LogisticRegression` (the reference's
+    zoo stops at test densities; GLMs are the canonical Pathfinder use
+    case, Zhang et al. 2022 §5)."""
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y, dtype=Xj.dtype)
+    d = Xj.shape[1]
+
+    def logp(beta):
+        eta = Xj @ beta
+        # Poisson log-likelihood up to the data-only log(y!) constant
+        loglik = jnp.sum(yj * eta - jnp.exp(eta))
+        logprior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
+        return loglik + logprior
+
+    return LogDensity(logp=logp, dim=d)
+
+
+def poisson_synthetic(n: int = 500, d: int = 8, seed: int = 0):
+    """Synthetic Poisson-regression data (bounded rates for stable tests)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d)) / np.sqrt(d)
+    X[:, 0] = 1.0
+    beta_true = rng.standard_normal(d) * 0.5
+    lam = np.exp(np.clip(X @ beta_true, -4.0, 4.0))
+    y = rng.poisson(lam).astype(np.float64)
+    return X, y, beta_true
+
+
+def StudentTRegression(X, y, df: float = 4.0, sigma: float = 1.0,
+                       prior_scale: float = 5.0) -> LogDensity:
+    """Robust (Student-t likelihood) linear regression over coefficients —
+    heavy-tailed residuals make the posterior non-Gaussian, a harder fit
+    target than the conjugate linear model."""
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y, dtype=Xj.dtype)
+    d = Xj.shape[1]
+    const = float(df)
+
+    def logp(beta):
+        z = (yj - Xj @ beta) / sigma
+        loglik = -0.5 * (const + 1.0) * jnp.sum(jnp.log1p(z * z / const))
+        logprior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
+        return loglik + logprior
+
+    return LogDensity(logp=logp, dim=d)
+
+
+def student_t_synthetic(n: int = 400, d: int = 8, df: float = 4.0,
+                        seed: int = 0):
+    """Synthetic robust-regression data with genuine t-distributed noise
+    (and therefore outliers)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    X[:, 0] = 1.0
+    beta_true = rng.standard_normal(d) * 0.5
+    y = X @ beta_true + rng.standard_t(df, size=n)
+    return X, y, beta_true
+
+
+__all__ += [
+    "PoissonRegression",
+    "poisson_synthetic",
+    "StudentTRegression",
+    "student_t_synthetic",
+]
+
+
 def german_credit_synthetic(n: int = 1000, d: int = 25, seed: int = 0):
     """Synthetic logistic-regression data at German-credit scale (the real
     dataset is not shipped; shapes/conditioning match baseline config 4)."""
