@@ -216,6 +216,16 @@ def test_optimizer_auto_requires_importance():
         run_multi(key=11, nruns=4, optimizer="auto", importance=False)
 
 
+def test_optimizer_auto_result_resamples():
+    """The auto-selected result is a full MultiPathfinderResult — post-hoc
+    resample works and the winner's config travels with it."""
+    r_auto, _ = run_multi(key=12, nruns=4, optimizer="auto")
+    r2 = resample(r_auto, 50)
+    assert r2.draws.shape == (5, 50)
+    assert r2.config.optimizer == r_auto.config.optimizer
+    assert np.all(np.isfinite(np.asarray(r2.draws)))
+
+
 def test_more_draws_than_pool_warns():
     with pytest.warns(UserWarning, match="More draws requested"):
         run_multi(ndraws=100, nruns=2, ndraws_per_run=10)
