@@ -362,12 +362,14 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3,
         return stats
 
     times = []
+    khats = []
     for r in range(repeats):
         t0 = time.perf_counter()
         out = compiled(jax.random.key(r + 1))
         _sync(out)
         times.append(time.perf_counter() - t0)
-    _log(f"times: {[round(t, 4) for t in times]}")
+        khats.append(round(float(out[1]), 3))
+    _log(f"times: {[round(t, 4) for t in times]}  khats: {khats}")
 
     (draws, khat, success, nevals, n_elbo, num_valid, num_exh,
      comp_means) = out
@@ -382,6 +384,8 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3,
             n_paths / max(elapsed - rtt, 1e-9), 2
         ),
         khat=round(float(khat), 3),
+        khat_per_repeat=khats,  # khat is seed-dependent (measured spread
+        # ~1.7-2.2 at the headline config); the list shows it in-artifact
         n_success=int(success.sum()),
         n_paths=n_paths,
         logp_grad_evals=int(nevals.sum()),
@@ -579,7 +583,8 @@ def main():
                 "paths_per_sec_device_only", "import_jax_s",
                 "backend_init_s", "device_probe_s", "trace_lower_s",
                 "xla_compile_s", "new_cache_files", "first_run_s",
-                "compile_total_s", "khat", "khat_oracle_mixture",
+                "compile_total_s", "khat", "khat_per_repeat",
+                "khat_oracle_mixture",
                 "khat_oracle_moment", "n_success", "n_paths",
                 "logp_grad_evals", "frac_paths_capped", "ls_exhaustions",
                 "moment_err_mean_sd_units", "moment_err_sd_rel",
