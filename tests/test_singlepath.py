@@ -120,6 +120,40 @@ def test_explicit_init_used():
     assert res.success
 
 
+def test_custom_init_sampler_plumbing():
+    """A user-supplied ``init_sampler(key, dim, dtype)`` drives the initial
+    point (the reference's ``init_sampler`` kwarg / ``UniformSampler``
+    pluggability, ``src/singlepath.jl:101-136``, tested at
+    ``test/singlepath.jl``'s init plumbing)."""
+    target = StandardNormal(3)
+
+    def const_sampler(key, dim, dtype=jnp.float32):
+        return jnp.full((dim,), 1.5, dtype)
+
+    res = pathfinder(
+        target, key=jax.random.key(2), init_sampler=const_sampler,
+        maxiters=30,
+    )
+    np.testing.assert_allclose(np.asarray(res.optim_trace.xs[0]), 1.5)
+    assert res.success
+
+    # multipath: the sampler is drawn per path with folded keys, so a
+    # randomized sampler must give DISTINCT in-support inits per path
+    from pathfinder_tpu.multipath import multipathfinder
+
+    def ball_sampler(key, dim, dtype=jnp.float32):
+        return 0.5 * jax.random.normal(key, (dim,), dtype) + 4.0
+
+    mres = multipathfinder(
+        target, 50, key=jax.random.key(3), nruns=4,
+        init_sampler=ball_sampler, maxiters=40,
+    )
+    x0s = np.asarray(mres.states.trace.xs[:, 0, :])  # (K, d) initial points
+    assert np.all(np.abs(x0s - 4.0) < 3.0)  # in the sampler's support
+    assert len({tuple(row) for row in x0s.round(6)}) == 4  # distinct
+    assert np.all(np.asarray(mres.states.success))
+
+
 def test_elbo_estimates_are_sane():
     """For a Gaussian target the best candidate ELBO should be ≈ 0 (KL = 0)."""
     target = StandardNormal(6)
