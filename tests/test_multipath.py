@@ -303,6 +303,20 @@ class TestResample:
         b = resample(result, 40, key=jax.random.key(1))
         np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
 
+    def test_recomputes_psis_when_absent(self):
+        """resample(importance=True) on a result stored WITHOUT PSIS
+        (importance=False run) computes it from the stored draws — the
+        reference's no-stored-PSIS path (``src/resample.jl:32-38``,
+        ``test/resample.jl:143-149``)."""
+        res, _ = run_multi(key=13, nruns=4, importance=False)
+        assert res.psis_result is None
+        r2 = resample(res, 50)
+        assert r2.psis_result is not None
+        np.testing.assert_allclose(
+            float(np.asarray(r2.psis_result.weights).sum()), 1.0, rtol=1e-5
+        )
+        assert r2.draws.shape == (5, 50)
+
 
 def test_mixture_denominator_single_component_equals_component():
     """With K=1 the mixture is its only component, so both denominators
