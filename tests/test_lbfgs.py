@@ -418,3 +418,28 @@ def test_batched_minimize_under_vmap():
     for i in range(4):
         n = int(traces.num_valid[i])
         np.testing.assert_allclose(traces.xs[i, n - 1], np.zeros(d), atol=1e-5)
+
+
+def test_progress_every_emits_iteration_lines(capsys):
+    """progress_every > 0 emits a host-callback line per N iterations
+    (the reference's per-iteration ProgressLogging events,
+    ``src/optimize.jl:91-92``; sequence tested at
+    ``test/optimize.jl:138-159``)."""
+    import jax
+
+    from pathfinder_tpu.ops.lbfgs import minimize_lbfgs_trace
+
+    def logp(x):
+        return -0.5 * jnp.sum((x - 2.0) ** 2)
+
+    trace = minimize_lbfgs_trace(
+        jax.value_and_grad(logp), jnp.zeros(4, jnp.float32),
+        maxiters=20, progress_every=1,
+    )
+    jax.block_until_ready(trace.xs)
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "L-BFGS iter" in ln]
+    nv = int(trace.num_valid)
+    assert len(lines) >= nv - 1, (len(lines), nv, out)
+    assert f"/20" in lines[0]

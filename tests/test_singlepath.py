@@ -183,3 +183,26 @@ def test_grad_supplied():
     res = pathfinder(logp, dim=3, grad=grad, key=jax.random.key(10), maxiters=30)
     assert res.success
     np.testing.assert_allclose(res.fit_distribution.mean, np.zeros(3), atol=1e-6)
+
+
+def test_progress_try_lines(capsys):
+    """progress=True prints the per-try lines (the reference's
+    "Optimizing (try N)" progress names, ``src/singlepath.jl:270,279``)."""
+
+    def flaky_logp(x):
+        # NaN until the init lands in a small ball — forces retries
+        clean = -0.5 * jnp.sum(x * x)
+        return jnp.where(jnp.max(jnp.abs(x)) > 1.0, jnp.nan, clean)
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        res = pathfinder(
+            flaky_logp, dim=2, key=jax.random.key(5), init_scale=6.0,
+            ntries=200, maxiters=20, progress=True,
+        )
+    err = capsys.readouterr().err
+    assert "Optimizing (try 1)" in err
+    if int(res.num_tries) > 1:
+        assert f"Optimizing (try {int(res.num_tries)})" in err
