@@ -390,6 +390,33 @@ class WoodburyPDMat:
             a = self.A[i, j]
         return a + self.B[i] @ (self.D @ self.B[j])
 
+    def add_scaled_identity(self, c) -> "WoodburyPDMat":
+        """``W + c·I`` keeping Woodbury form (parity: ``+(::WoodburyPDMat,
+        ::UniformScaling)``, ``src/woodbury.jl:333-338`` — the reference
+        routes through ``PDMats.ScalMat``; here ``A + c·I`` stays diagonal /
+        dense directly). ``c`` must keep ``A + c·I`` positive definite."""
+        if self.A.ndim == 1:
+            A = self.A + c
+        else:
+            A = self.A + c * jnp.eye(self.dim, dtype=self.dtype)
+        return WoodburyPDMat.from_parts(A, self.B, self.D)
+
+    def __add__(self, other):
+        if isinstance(other, WoodburyPDMat):
+            # A₁+A₂ stays diag/dense; the low-rank parts concatenate
+            if (self.A.ndim == 1) == (other.A.ndim == 1):
+                A = self.A + other.A
+            else:
+                a1 = jnp.diag(self.A) if self.A.ndim == 1 else self.A
+                a2 = jnp.diag(other.A) if other.A.ndim == 1 else other.A
+                A = a1 + a2
+            B = jnp.concatenate([self.B, other.B], axis=1)
+            m1, m2 = self.D.shape[0], other.D.shape[0]
+            D = jnp.zeros((m1 + m2, m1 + m2), self.dtype)
+            D = D.at[:m1, :m1].set(self.D).at[m1:, m1:].set(other.D)
+            return WoodburyPDMat.from_parts(A, B, D)
+        return NotImplemented
+
     def scale(self, c):
         """``W * c``: positive scalar ``c`` keeps Woodbury form; a concrete
         non-positive ``c`` returns the dense array ``c * to_dense()`` —

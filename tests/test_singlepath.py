@@ -31,6 +31,21 @@ def test_standard_normal_exact_recovery():
     assert np.all(np.abs(np.asarray(res.draws).mean(axis=1)) < 0.5)
 
 
+@pytest.mark.parametrize("d", [1, 10, 100])
+def test_standard_normal_recovery_dim_sweep(d):
+    """Reference sweeps dim ∈ [1, 5, 10, 100] (``test/singlepath.jl:19``);
+    d=1 exercises the scalar-dimension edge (B is (1, 2J), all reductions
+    length-1)."""
+    target = StandardNormal(d)
+    res = pathfinder(target, key=jax.random.key(d), ndraws=50, maxiters=50)
+    assert res.success
+    np.testing.assert_allclose(res.fit_distribution.mean, np.zeros(d), atol=1e-5)
+    np.testing.assert_allclose(
+        res.fit_distribution.cov.to_dense(), np.eye(d), atol=1e-4
+    )
+    assert res.draws.shape == (d, 50)
+
+
 def test_dense_covariance_recovery():
     """5-D correlated Gaussian: fit mean/cov within rtol 0.1 (reference
     ``test/singlepath.jl:67-102`` with ndraws_elbo=500)."""

@@ -165,6 +165,44 @@ def test_woodbury_inv_and_scale():
     np.testing.assert_allclose(np.asarray(W0), 0.0 * W_dense)
 
 
+def test_add_scaled_identity_and_add():
+    """``W + c·I`` stays in Woodbury form (parity: the reference's
+    UniformScaling add, ``src/woodbury.jl:333-338``, checked numerically at
+    ``test/woodbury.jl`` "+ ::UniformScaling"); ``W1 + W2`` concatenates the
+    low-rank parts."""
+    rng = np.random.default_rng(17)
+    for diag_A in (True, False):
+        A, B, D, W_dense = rand_woodbury(rng, 7, 3, np.float64, diag_A=diag_A)
+        W = WoodburyPDMat.from_parts(A, B, D)
+        c = 0.37
+        Wc = W.add_scaled_identity(c)
+        assert isinstance(Wc, WoodburyPDMat)
+        np.testing.assert_allclose(
+            Wc.to_dense(), W_dense + c * np.eye(7), rtol=1e-10, atol=1e-12
+        )
+        # the factorization of the shifted matrix is consistent
+        np.testing.assert_allclose(
+            Wc.logdet(),
+            np.linalg.slogdet(W_dense + c * np.eye(7))[1],
+            rtol=1e-9,
+        )
+
+    A1, B1, D1, Wd1 = rand_woodbury(rng, 6, 2, np.float64, diag_A=True)
+    A2, B2, D2, Wd2 = rand_woodbury(rng, 6, 3, np.float64, diag_A=True)
+    W12 = WoodburyPDMat.from_parts(A1, B1, D1) + WoodburyPDMat.from_parts(
+        A2, B2, D2
+    )
+    assert isinstance(W12, WoodburyPDMat)
+    assert W12.B.shape == (6, 5)
+    np.testing.assert_allclose(W12.to_dense(), Wd1 + Wd2, rtol=1e-10, atol=1e-12)
+    # mixed diag/dense A promotes to dense A
+    A3, B3, D3, Wd3 = rand_woodbury(rng, 6, 2, np.float64, diag_A=False)
+    W13 = WoodburyPDMat.from_parts(A1, B1, D1) + WoodburyPDMat.from_parts(
+        A3, B3, D3
+    )
+    np.testing.assert_allclose(W13.to_dense(), Wd1 + Wd3, rtol=1e-10, atol=1e-12)
+
+
 def test_astype_and_entry():
     rng = np.random.default_rng(31)
     A, B, D, W_dense = rand_woodbury(rng, 6, 3, np.float64)
