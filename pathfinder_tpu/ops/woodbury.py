@@ -411,11 +411,13 @@ class WoodburyPDMat:
                 a2 = jnp.diag(other.A) if other.A.ndim == 1 else other.A
                 A = a1 + a2
             B = jnp.concatenate([self.B, other.B], axis=1)
-            m1, m2 = self.D.shape[0], other.D.shape[0]
-            D = jnp.zeros((m1 + m2, m1 + m2), self.dtype)
-            D = D.at[:m1, :m1].set(self.D).at[m1:, m1:].set(other.D)
+            from jax.scipy.linalg import block_diag
+
+            D = block_diag(self.D, other.D)  # promotes dtypes correctly
             return WoodburyPDMat.from_parts(A, B, D)
         return NotImplemented
+
+    __radd__ = __add__
 
     def scale(self, c):
         """``W * c``: positive scalar ``c`` keeps Woodbury form; a concrete
