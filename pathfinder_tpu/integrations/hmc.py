@@ -286,7 +286,21 @@ def hmc_warm_start(
     ``docs/src/examples/initializing-hmc.md``)."""
     from pathfinder_tpu.models.protocol import as_log_density
 
-    target = as_log_density(result.input) if result.input is not None else None
+    # transform-aware results (BayesModel / transform= runs) sample in
+    # unconstrained space: draws, metric, and logp all live there, so HMC
+    # must target the linked density, not the raw model input
+    tld = getattr(result, "transform", None)
+    if tld is not None:
+        target = tld.unconstrained
+    else:
+        try:
+            target = (
+                as_log_density(result.input)
+                if result.input is not None
+                else None
+            )
+        except TypeError:
+            target = None
     vg = (
         target.value_and_grad
         if target is not None

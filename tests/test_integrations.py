@@ -197,6 +197,36 @@ def test_warm_started_hmc_posterior_agreement():
     np.testing.assert_allclose(np.cov(xs.T), target.cov, atol=0.3, rtol=0.3)
 
 
+def test_hmc_warm_start_on_transform_aware_result():
+    """``hmc_warm_start`` on a BayesModel result must target the linked
+    (unconstrained) density — regression test: it used to crash trying to
+    interpret the model itself as a log density."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.models.bayes import BayesModel, HalfNormal, Normal
+
+    obs = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+    model = BayesModel(
+        {"mu": Normal(0.0, 5.0), "sigma": HalfNormal(2.0)},
+        loglikelihood=lambda p: jnp.sum(
+            -0.5 * ((obs - p["mu"]) / p["sigma"]) ** 2 - jnp.log(p["sigma"])
+        ),
+    )
+    res = pathfinder(model, key=jax.random.key(0), maxiters=50)
+    assert res.success
+    out = hmc_warm_start(
+        jax.random.key(1), res, num_samples=200, num_warmup=100,
+        num_leapfrog=8,
+    )
+    assert out.samples.shape == (200, 2)
+    assert float(np.mean(np.asarray(out.accept_prob))) > 0.5
+    # samples are unconstrained; the constrained view must be in-support
+    chain = model.draws_to_chain(jnp.asarray(out.samples).T)
+    assert np.all(np.asarray(chain["sigma"]) > 0)
+    # posterior mean of mu should be near the data mean
+    assert abs(float(np.mean(np.asarray(chain["mu"]))) - 1.25) < 0.6
+
+
 def test_bijector_jacobians_vs_autodiff():
     z = jnp.asarray(np.random.default_rng(4).standard_normal(5))
     for bij in [Identity(), Exp(), Interval(-1.0, 2.5)]:
