@@ -141,6 +141,26 @@ class WoodburyMetric:
         return Metric(self.sample_momentum, kinetic_energy, check_turning)
 
 
+def resolve_result_value_and_grad(result) -> Callable:
+    """``value_and_grad`` of the density a Pathfinder result's draws live
+    in. Transform-aware results (BayesModel / ``transform=`` runs) sample in
+    *unconstrained* space — their draws, metric, and stored ``logp`` all live
+    there — so warm-started samplers must target the linked density, never
+    the raw model input; plain results honor a user-supplied gradient via
+    ``as_log_density``."""
+    from pathfinder_tpu.models.protocol import as_log_density
+
+    tld = getattr(result, "transform", None)
+    if tld is not None:
+        return tld.unconstrained.value_and_grad
+    try:
+        if result.input is not None:
+            return as_log_density(result.input).value_and_grad
+    except TypeError:
+        pass
+    return jax.value_and_grad(result.logp)
+
+
 def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps, n_steps: int):
     """``n_steps`` leapfrog steps; returns ``(x, p, logp, grad)`` at the end.
 
@@ -284,28 +304,7 @@ def hmc_warm_start(
     Pathfinder draw, metric = the fit's Woodbury covariance (the reference's
     primary use case, ``docs/src/index.md:21-37`` /
     ``docs/src/examples/initializing-hmc.md``)."""
-    from pathfinder_tpu.models.protocol import as_log_density
-
-    # transform-aware results (BayesModel / transform= runs) sample in
-    # unconstrained space: draws, metric, and logp all live there, so HMC
-    # must target the linked density, not the raw model input
-    tld = getattr(result, "transform", None)
-    if tld is not None:
-        target = tld.unconstrained
-    else:
-        try:
-            target = (
-                as_log_density(result.input)
-                if result.input is not None
-                else None
-            )
-        except TypeError:
-            target = None
-    vg = (
-        target.value_and_grad
-        if target is not None
-        else jax.value_and_grad(result.logp)
-    )
+    vg = resolve_result_value_and_grad(result)
     metric = WoodburyMetric.from_result(result)
     x0 = result.draws[:, draw_index]
     return hmc(

@@ -551,7 +551,9 @@ def nuts_warm_start(
 ) -> NUTSResult:
     """NUTS initialized from a Pathfinder result: position = a Pathfinder
     draw, metric = the fit covariance (the reference's headline workflow)."""
-    vg = jax.value_and_grad(result.logp)
+    from pathfinder_tpu.integrations.hmc import resolve_result_value_and_grad
+
+    vg = resolve_result_value_and_grad(result)
     metric = WoodburyMetric.from_result(result)
     x0 = result.draws[:, draw_index]
     return nuts(

@@ -226,6 +226,16 @@ def test_hmc_warm_start_on_transform_aware_result():
     # posterior mean of mu should be near the data mean
     assert abs(float(np.mean(np.asarray(chain["mu"]))) - 1.25) < 0.6
 
+    # nuts_warm_start resolves the same linked target
+    from pathfinder_tpu.integrations.nuts import nuts_warm_start
+
+    nres = nuts_warm_start(
+        jax.random.key(2), res, num_samples=100, num_warmup=100, max_depth=6
+    )
+    nchain = model.draws_to_chain(jnp.asarray(nres.samples).T)
+    assert np.all(np.asarray(nchain["sigma"]) > 0)
+    assert abs(float(np.mean(np.asarray(nchain["mu"]))) - 1.25) < 0.6
+
 
 def test_bijector_jacobians_vs_autodiff():
     z = jnp.asarray(np.random.default_rng(4).standard_normal(5))
