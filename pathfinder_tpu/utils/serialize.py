@@ -91,6 +91,9 @@ def _encode(obj, arrays: dict, counter: list):
             "seq": [_encode(v, arrays, counter) for v in obj],
             "tuple": isinstance(obj, tuple),
         }
+    if isinstance(obj, dict) and all(isinstance(k, str) for k in obj):
+        # named-chain dicts (draws_transformed of model runs) round-trip
+        return {"map": {k: _encode(v, arrays, counter) for k, v in obj.items()}}
     # callables / unknown objects: recorded as skipped
     return {"skip": repr(type(obj))}
 
@@ -105,6 +108,11 @@ def _decode(meta, arrays, rebind: dict, unbound: set):
     if "seq" in meta:
         vals = [_decode(v, arrays, rebind, unbound) for v in meta["seq"]]
         return tuple(vals) if meta.get("tuple") else vals
+    if "map" in meta:
+        return {
+            k: _decode(v, arrays, rebind, unbound)
+            for k, v in meta["map"].items()
+        }
     if "skip" in meta:
         return None
     if "type" in meta:
@@ -182,8 +190,10 @@ def save_result(path: str, result) -> None:
 def load_result(path: str, fn=None):
     """Load a result saved by :func:`save_result`.
 
-    ``fn``: the original target (callable or :class:`LogDensity`); when
-    given, ``logp``/``target``/``input`` are re-bound so importance
+    ``fn``: the original target (callable, :class:`LogDensity`, model with a
+    ``.transformed`` link such as ``BayesModel``, or
+    ``TransformedLogDensity``); when given, ``logp``/``target``/``input``
+    (and ``transform`` for model inputs) are re-bound so importance
     re-resampling works on the loaded result.
     """
     if not path.endswith(".npz"):
@@ -194,12 +204,36 @@ def load_result(path: str, fn=None):
     meta = meta["root"] if "v" in meta else meta
     rebind = {}
     if fn is not None:
+        from pathfinder_tpu.integrations.transforms import resolve_transform
         from pathfinder_tpu.models.protocol import as_log_density
 
-        target = as_log_density(fn)
+        # model inputs (BayesModel / TransformedLogDensity) resolve to their
+        # unconstrained linked density — the space the stored draws live in
+        target_input, tld = resolve_transform(fn, None)
+        target = as_log_density(target_input)
         rebind = {"logp": target.logp, "target": target, "input": fn}
+        if tld is not None:
+            rebind["transform"] = tld
     unbound: set = set()
     result = _decode(meta, data, rebind, unbound)
+    if (
+        "transform" in rebind
+        and getattr(result, "fit_distribution_transformed", False) is None
+        and getattr(result, "fit_distribution", None) is not None
+    ):
+        # the pushforward fit distribution holds the (unserialized) bijector;
+        # rebuild it from the rebound transform
+        from pathfinder_tpu.integrations.transforms import (
+            TransformedDistribution,
+        )
+
+        result = dataclasses.replace(
+            result,
+            fit_distribution_transformed=TransformedDistribution(
+                result.fit_distribution, rebind["transform"].bijector
+            ),
+        )
+        unbound.discard(f"{type(result).__name__}.fit_distribution_transformed")
     if unbound:
         import warnings
 

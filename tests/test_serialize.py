@@ -100,3 +100,47 @@ def test_schema_evolution_tolerant_load(tmp_path):
     np_.testing.assert_array_equal(
         np_.asarray(loaded.draws), np_.asarray(res.draws)
     )
+
+
+def test_roundtrip_bayes_model_result(tmp_path):
+    """Transform-aware (BayesModel) results round-trip: load_result(fn=model)
+    resolves the linked density (regression: it used to raise TypeError),
+    named-chain dicts are serialized, the pushforward fit distribution is
+    rebuilt, and resample works on the loaded result warning-free."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from pathfinder_tpu import multipathfinder
+    from pathfinder_tpu.models.bayes import BayesModel, HalfNormal, Normal
+    from pathfinder_tpu.multipath import resample
+
+    obs = jnp.asarray([1.0, 2.0, 0.5])
+    model = BayesModel(
+        {"mu": Normal(0.0, 5.0), "sigma": HalfNormal(2.0)},
+        loglikelihood=lambda p: jnp.sum(
+            -0.5 * ((obs - p["mu"]) / p["sigma"]) ** 2 - jnp.log(p["sigma"])
+        ),
+    )
+    res = multipathfinder(model, 100, key=jax.random.key(0), nruns=4, maxiters=40)
+    p = str(tmp_path / "bayes_run")
+    save_result(p, res)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        loaded = load_result(p, fn=model)
+
+    for k in res.draws_transformed:
+        np.testing.assert_allclose(
+            np.asarray(loaded.draws_transformed[k]),
+            np.asarray(res.draws_transformed[k]),
+        )
+    draws_c, _ = res.fit_distribution_transformed.sample(jax.random.key(9), 7)
+    np.testing.assert_allclose(
+        np.asarray(loaded.fit_distribution_transformed.logpdf(draws_c)),
+        np.asarray(res.fit_distribution_transformed.logpdf(draws_c)),
+        rtol=1e-6,
+    )
+    r2 = resample(loaded, 50)
+    r2b = resample(res, 50)
+    np.testing.assert_array_equal(np.asarray(r2.draws), np.asarray(r2b.draws))
+    assert np.all(np.asarray(r2.draws_transformed["sigma"]) > 0)
