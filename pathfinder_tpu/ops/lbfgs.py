@@ -24,8 +24,7 @@ optimizer internally minimizes ``f = -logp``.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ flow, never Python control flow, so the search can sit inside a ``scan`` /
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -854,18 +853,27 @@ def wolfe_line_search(
         dphi_lo = jnp.where(set_lo, dphi_a, jnp.where(b & br_zoom_hi, s.dphi_prev, s.dphi_lo))
         g_lo = jnp.where(set_lo, g_a, s.g_lo)
 
-        # hi triple
-        set_hi_a = jnp.where(b, br_zoom_hi, zm_shrink & ~bad)
+        # hi triple. A non-finite zoom trial still moves a_hi to the trial
+        # point but is recorded as φ=+inf, dφ=0 — a consistent "infinitely
+        # high" endpoint: _cubic_min's finiteness guard then degrades to
+        # bisection, shrinking the interval toward the support boundary
+        # while a_lo keeps the last finite sufficient-decrease point.
+        # (Previously a_hi moved while phi_hi/dphi_hi kept the OLD
+        # endpoint's values — an inconsistent triple that fed the cubic
+        # mismatched data for the rest of the zoom.)
+        set_hi_a = jnp.where(b, br_zoom_hi, zm_shrink)
+        phi_at_c = jnp.where(bad, jnp.asarray(jnp.inf, dtype), phi_a)
+        dphi_at_c = jnp.where(bad, jnp.zeros((), dtype), dphi_a)
         a_hi = jnp.where(
-            jnp.where(b, br_zoom_hi, zm_shrink), a,
+            set_hi_a, a,
             jnp.where(b & br_zoom_lo, s.a_prev, jnp.where(flip, s.a_lo, s.a_hi)),
         )
         phi_hi = jnp.where(
-            set_hi_a, phi_a,
+            set_hi_a, phi_at_c,
             jnp.where(b & br_zoom_lo, s.phi_prev, jnp.where(flip, s.phi_lo, s.phi_hi)),
         )
         dphi_hi = jnp.where(
-            set_hi_a, dphi_a,
+            set_hi_a, dphi_at_c,
             jnp.where(b & br_zoom_lo, s.dphi_prev, jnp.where(flip, s.dphi_lo, s.dphi_hi)),
         )
 

@@ -49,8 +49,13 @@ class PSISResult(NamedTuple):
     @property
     def diagnosis(self) -> str:
         """Quality verdict with the reference's thresholds
-        (``src/multipath.jl:54-63``)."""
+        (``src/multipath.jl:54-63``). ``pareto_shape`` is NaN when the
+        diagnostic could not be computed (tail too short, degenerate
+        ratios, failed GPD fit) — reported as ``"not computed"``, never as
+        a quality verdict."""
         k = float(self.pareto_shape)
+        if k != k:  # NaN: falls through every comparison below
+            return "not computed"
         if k > 1:
             return "very bad"
         if k > 0.7:
@@ -108,8 +113,16 @@ def psis(log_ratios: jax.Array, reff: float = 1.0) -> PSISResult:
     M = tail_length(reff, S)
 
     lw = jnp.where(jnp.isnan(log_ratios), -jnp.inf, log_ratios)
-    lw_max = jnp.max(lw)
-    x = lw - lw_max  # shift so max is 0 (stability)
+    # +inf ratios (zero-density proposal draws / broken targets) would make
+    # the max-shift below NaN everywhere and silently collapse resampling;
+    # cap them at the largest finite ratio (they then carry the top weight).
+    finite_max = jnp.max(jnp.where(jnp.isfinite(lw), lw, -jnp.inf))
+    has_finite = jnp.isfinite(finite_max)
+    lw = jnp.minimum(lw, finite_max)
+    # no finite ratio at all (every draw NaN/±inf): fall back to uniform
+    # weights with a NaN shape diagnostic instead of NaN weights
+    lw = jnp.where(has_finite, lw - finite_max, jnp.zeros_like(lw))
+    x = lw  # shifted so max is 0 (stability)
 
     if M < 5:
         logZ = jax.nn.logsumexp(x)

@@ -45,7 +45,6 @@ factor is our ``Lᵀ``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

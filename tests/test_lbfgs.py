@@ -295,6 +295,37 @@ def test_wolfe_line_search_conditions():
     assert abs(float(ga @ p)) <= -0.9 * dphi0 + 1e-12
 
 
+def test_wolfe_zoom_keeps_consistent_interval_through_nan_pocket():
+    """A non-finite zoom trial is recorded as a φ=+inf endpoint (interval
+    stays self-consistent; regression: a_hi moved while phi_hi/dphi_hi kept
+    the old endpoint's values, feeding the cubic mismatched data). The
+    search must still return a point whose (f, g) match a real evaluation
+    and satisfy sufficient decrease."""
+
+    def vg(x):
+        a = x[0]
+        val = (a - 1.0) ** 2
+        val = jnp.where((a > 1.5) & (a < 2.8), jnp.nan, val)
+        grad = jnp.asarray([2.0 * (a - 1.0)])
+        grad = jnp.where((a > 1.5) & (a < 2.8), jnp.full_like(grad, jnp.nan), grad)
+        return val, grad
+
+    x = jnp.asarray([0.0])
+    f0, g0 = vg(x)
+    p = jnp.asarray([1.0])  # descent (minimum at a=1, NaN pocket beyond)
+    # alpha0=4: first trial overshoots past the pocket, φ(4)=9 > φ(0)=1
+    # enters zoom on [0, 4]; interpolants repeatedly land in the pocket
+    res = wolfe_line_search(vg, x, f0, g0, p, jnp.asarray(4.0), max_evals=20)
+    assert bool(res.ok)
+    a = float(res.step_size)
+    assert 0 < a <= 1.5  # outside the NaN pocket
+    fa, ga = vg(x + a * p)
+    np.testing.assert_allclose(float(res.f), float(fa), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.g), np.asarray(ga), rtol=1e-6)
+    dphi0 = float(g0 @ p)
+    assert float(fa) <= float(f0) + 1e-4 * a * dphi0  # sufficient decrease
+
+
 def test_hager_zhang_line_search_conditions():
     """Accepted HZ steps satisfy standard weak Wolfe OR approximate Wolfe
     (HZ 2005 eq. 4.1) with δ=0.1, σ=0.9 — the reference's default search

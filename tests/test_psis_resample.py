@@ -83,6 +83,49 @@ def test_diagnosis_thresholds():
         assert r.diagnosis == verdict
 
 
+def test_diagnosis_nan_is_not_a_verdict():
+    """A NaN shape must never read as a quality verdict (regression: NaN
+    fell through every threshold comparison and reported "good")."""
+    base = psis(jnp.zeros(100))
+    r = PSISResult(
+        base.log_weights, base.weights, jnp.asarray(jnp.nan), 20, 1.0
+    )
+    assert r.diagnosis == "not computed"
+    short = psis(jnp.asarray(np.random.default_rng(4).standard_normal(10)))
+    assert short.diagnosis == "not computed"
+
+
+def test_psis_inf_ratio_does_not_poison_weights():
+    """A +inf log-ratio (zero-density proposal draw / broken target) used
+    to NaN every weight, after which resampling silently collapsed to one
+    index; it must instead carry the top weight with everything finite."""
+    rng = np.random.default_rng(11)
+    lr = rng.standard_normal(100)
+    lr[7] = np.inf
+    res = psis(jnp.asarray(lr))
+    w = np.asarray(res.weights)
+    assert np.all(np.isfinite(w))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+    # capped at the max finite ratio, the +inf draw TIES with the true max;
+    # tail smoothing then assigns the top two order statistics to the pair
+    # in platform-dependent sort order — assert top-2, not strict max
+    assert w[7] >= np.sort(w)[-2]
+    idx = np.asarray(resample_indices(jax.random.key(0), 100, 50, res.log_weights))
+    assert len(set(idx.tolist())) > 1  # no silent collapse to one draw
+
+
+def test_psis_all_degenerate_ratios_fall_back_to_uniform():
+    """All-NaN / all--inf ratios: uniform weights + NaN shape, not NaN
+    weights."""
+    for bad in (np.full(50, np.nan), np.full(50, -np.inf), np.full(50, np.inf)):
+        res = psis(jnp.asarray(bad))
+        np.testing.assert_allclose(
+            np.asarray(res.weights), np.full(50, 1 / 50), rtol=1e-6
+        )
+        assert np.isnan(float(res.pareto_shape))
+        assert res.diagnosis == "not computed"
+
+
 def test_resample_indices_without_replacement_unique():
     key = jax.random.key(0)
     lw = jnp.asarray(np.random.default_rng(5).standard_normal(50))
