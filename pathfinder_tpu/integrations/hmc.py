@@ -89,9 +89,18 @@ class WoodburyMetric:
         )
 
     @staticmethod
-    def from_result(result) -> "WoodburyMetric":
-        """From a :class:`PathfinderResult` (single path)."""
-        return WoodburyMetric(result.fit_distribution.cov)
+    def from_result(result, draw_index: int = 0) -> "WoodburyMetric":
+        """From a :class:`PathfinderResult` (single path: the fit covariance)
+        or a :class:`MultiPathfinderResult` (mixture fit: the covariance of
+        the component that produced draw ``draw_index`` — the analog of the
+        reference's per-path ``RankUpdateEuclideanMetric`` construction,
+        since no single Woodbury matrix represents a mixture)."""
+        fd = result.fit_distribution
+        if hasattr(fd, "cov"):
+            return WoodburyMetric(fd.cov)
+        # UniformMixture (multipath): pick the selected draw's component
+        k = int(result.draw_component_ids[draw_index])
+        return WoodburyMetric(fd.component(k).cov)
 
     # -- warm-start exports to external samplers ------------------------------
     # (the role of the reference's AdvancedHMC/DynamicHMC extensions,
@@ -126,6 +135,13 @@ class WoodburyMetric:
                 "the dense warm-start instead."
             ) from e
 
+        # BlackJAX kernels call these with trailing position arguments
+        # (sample_momentum(key, position), kinetic_energy(momentum,
+        # position)) — accept and ignore them, as the dense Gaussian
+        # metric does.
+        def sample_momentum(key, position=None):
+            return self.sample_momentum(key)
+
         def kinetic_energy(momentum, position=None):
             return self.kinetic_energy(momentum)
 
@@ -138,7 +154,7 @@ class WoodburyMetric:
                 jnp.vdot(minv_rho, p_right) <= 0
             )
 
-        return Metric(self.sample_momentum, kinetic_energy, check_turning)
+        return Metric(sample_momentum, kinetic_energy, check_turning)
 
 
 def resolve_result_value_and_grad(result) -> Callable:
@@ -148,7 +164,7 @@ def resolve_result_value_and_grad(result) -> Callable:
     there — so warm-started samplers must target the linked density, never
     the raw model input; plain results honor a user-supplied gradient via
     ``as_log_density``."""
-    from pathfinder_tpu.models.protocol import as_log_density
+    from pathfinder_tpu.models.protocol import as_log_density, cached_value_and_grad
 
     tld = getattr(result, "transform", None)
     if tld is not None:
@@ -158,7 +174,7 @@ def resolve_result_value_and_grad(result) -> Callable:
             return as_log_density(result.input).value_and_grad
     except TypeError:
         pass
-    return jax.value_and_grad(result.logp)
+    return cached_value_and_grad(result.logp)
 
 
 def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps, n_steps: int):
@@ -214,7 +230,11 @@ def hmc(
     mu = jnp.log(10.0 * init_step_size)
     da0 = (
         jnp.asarray(jnp.log(init_step_size), dtype),  # log eps
-        jnp.zeros((), dtype),  # log eps averaged
+        # log eps averaged: seeded with init_step_size so num_warmup=0
+        # samples at the requested step size (the first DA update has
+        # weight w = 1^{-κ} = 1, so this seed is irrelevant once any
+        # warmup runs)
+        jnp.asarray(jnp.log(init_step_size), dtype),
         jnp.zeros((), dtype),  # H accumulator
     )
 
@@ -305,7 +325,7 @@ def hmc_warm_start(
     primary use case, ``docs/src/index.md:21-37`` /
     ``docs/src/examples/initializing-hmc.md``)."""
     vg = resolve_result_value_and_grad(result)
-    metric = WoodburyMetric.from_result(result)
+    metric = WoodburyMetric.from_result(result, draw_index)
     x0 = result.draws[:, draw_index]
     return hmc(
         key,

@@ -150,7 +150,12 @@ def _build_subtree(
 
         # U-turn checks at odd leaves over trailing-ones aligned blocks:
         # block k has start a = n+1-2^k, checkpoint idx popcount(a),
-        # running from idx_max = popcount(n >> 1) down to idx_min.
+        # running from idx_max = popcount(n >> 1) down to idx_min. For an
+        # even n, trailing_ones = 0 makes the bounds empty — so traced loop
+        # bounds replace the old fixed (max_depth+1)-iteration masked loop,
+        # cutting the per-leaf cost from 2(max_depth+1) O(d·m) matvecs to
+        # ~2 on average (trailing_ones averages 1), with the loop-invariant
+        # M⁻¹·p_end matvec hoisted out.
         idx_max = _popcount(n >> 1)
         trailing_ones = jax.lax.while_loop(
             lambda tc: (tc[0] & 1) == 1,
@@ -159,14 +164,17 @@ def _build_subtree(
         )[1]
         idx_min = idx_max - trailing_ones + 1
 
+        v_end = metric.grad_kinetic(p_true)
+
         def check_block(i, turning):
-            active = (i >= idx_min) & (i <= idx_max) & ((n % 2) == 1)
             rho_block = rho_new - rho_ckpt[i]
-            t = _uturn(metric, rho_block, p_ckpt[i], p_true)
-            return turning | (active & t)
+            t = (jnp.vdot(rho_block, metric.grad_kinetic(p_ckpt[i])) <= 0) | (
+                jnp.vdot(rho_block, v_end) <= 0
+            )
+            return turning | t
 
         turning = jax.lax.fori_loop(
-            0, max_depth + 1, check_block, jnp.asarray(False)
+            idx_min, idx_max + 1, check_block, jnp.asarray(False)
         )
 
         return _SubtreeState(
@@ -377,7 +385,10 @@ def nuts(
     da0 = (
         jnp.asarray(jnp.log(10.0 * init_step_size), dtype),
         jnp.asarray(jnp.log(init_step_size), dtype),
-        jnp.zeros((), dtype),
+        # log_eps_bar seeded with init_step_size so num_warmup=0 samples
+        # at the requested step size (overwritten entirely by the first
+        # DA update, whose weight is w = 1^{-κ} = 1)
+        jnp.asarray(jnp.log(init_step_size), dtype),
         jnp.zeros((), dtype),
         jnp.zeros((), dtype),
     )
@@ -554,7 +565,7 @@ def nuts_warm_start(
     from pathfinder_tpu.integrations.hmc import resolve_result_value_and_grad
 
     vg = resolve_result_value_and_grad(result)
-    metric = WoodburyMetric.from_result(result)
+    metric = WoodburyMetric.from_result(result, draw_index)
     x0 = result.draws[:, draw_index]
     return nuts(
         key,

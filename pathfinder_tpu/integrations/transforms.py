@@ -236,8 +236,19 @@ class Stacked(Bijector):
 
     def __post_init__(self):
         object.__setattr__(self, "blocks", tuple(self.blocks))
+        for _, size in self.blocks:
+            if size < 1:
+                raise ValueError(f"Stacked block sizes must be >= 1; got {size}")
 
     def _split(self, v):
+        total = sum(size for _, size in self.blocks)
+        if v.shape[0] != total:
+            raise ValueError(
+                f"Stacked blocks cover {total} entries but the parameter "
+                f"vector has {v.shape[0]} — block sizes must sum to the "
+                "target dimension (a mismatch would silently truncate the "
+                "vector and drop Jacobian terms)"
+            )
         out, i = [], 0
         for b, size in self.blocks:
             out.append((b, v[i : i + size]))

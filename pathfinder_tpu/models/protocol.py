@@ -12,11 +12,21 @@ default on TPU, as the reference's own docs recommend for high dimensions,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
 
 __all__ = ["LogDensity", "as_log_density", "from_pytree_logp", "PytreeTarget"]
+
+
+@functools.lru_cache(maxsize=256)
+def cached_value_and_grad(logp: Callable) -> Callable:
+    """``jax.value_and_grad`` with a stable identity per ``logp``: consumers
+    that pass the result as a jit *static* argument (the HMC/NUTS samplers)
+    would otherwise recompile on every call, since each
+    ``jax.value_and_grad(f)`` invocation returns a fresh function object."""
+    return jax.value_and_grad(logp)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,7 +42,7 @@ class LogDensity:
         if self.value_and_grad is None:
             object.__setattr__(self, "_vg_derived", True)
             object.__setattr__(
-                self, "value_and_grad", jax.value_and_grad(self.logp)
+                self, "value_and_grad", cached_value_and_grad(self.logp)
             )
         else:
             object.__setattr__(self, "_vg_derived", False)

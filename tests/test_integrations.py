@@ -128,18 +128,20 @@ def test_to_blackjax_contract_with_mock(monkeypatch):
     bj = metric.to_blackjax()
     assert isinstance(bj, Metric)
 
-    # (b) momentum covariance ≈ M = W⁻¹
+    # (b) momentum covariance ≈ M = W⁻¹, called with the kernel arity:
+    # blackjax HMC/NUTS kernels invoke metric.sample_momentum(key, position)
+    pos = jnp.zeros(6)
     keys = jax.random.split(jax.random.key(7), 100_000)
-    ps = jax.vmap(bj.sample_momentum)(keys)
+    ps = jax.vmap(lambda k: bj.sample_momentum(k, pos))(keys)
     emp_cov = np.cov(np.asarray(ps).T)
     np.testing.assert_allclose(
         emp_cov, np.linalg.inv(W_dense), atol=0.05, rtol=0.15
     )
 
-    # (c) kinetic energy (positional (momentum, position=None) signature)
+    # (c) kinetic energy (positional (momentum, position) kernel arity)
     p = rng.standard_normal(6)
     np.testing.assert_allclose(
-        float(bj.kinetic_energy(jnp.asarray(p))),
+        float(bj.kinetic_energy(jnp.asarray(p), pos)),
         0.5 * p @ W_dense @ p,
         rtol=1e-6,
     )
@@ -294,3 +296,82 @@ def test_transformed_pathfinder_recovers_lognormal():
     # constrained draws are lognormal: check the median roughly
     med = np.median(np.asarray(x_draws))
     assert abs(np.log(med) - mu) < 0.2
+
+
+def test_warm_start_from_multipath_result():
+    """``hmc_warm_start`` / ``nuts_warm_start`` must accept a
+    MultiPathfinderResult (the documented resampling→NUTS workflow,
+    docs/examples/resampling.md): the metric is the covariance of the
+    component that produced the selected draw."""
+    from pathfinder_tpu.integrations.nuts import nuts_warm_start
+    from pathfinder_tpu.multipath import multipathfinder
+
+    target = CorrelatedGaussian(5, seed=9)
+    mres = multipathfinder(
+        target, 40, key=jax.random.key(0), nruns=4, maxiters=60,
+        history_length=5,
+    )
+    for di in (0, 7):
+        m = WoodburyMetric.from_result(mres, draw_index=di)
+        k = int(mres.draw_component_ids[di])
+        np.testing.assert_allclose(
+            np.asarray(m.minv.to_dense()),
+            np.asarray(mres.fit_distribution.component(k).cov.to_dense()),
+        )
+    out = hmc_warm_start(
+        jax.random.key(1), mres, num_samples=400, num_warmup=200
+    )
+    xs = np.asarray(out.samples)
+    assert np.isfinite(xs).all()
+    np.testing.assert_allclose(xs.mean(axis=0), target.mean, atol=0.6)
+    nout = nuts_warm_start(
+        jax.random.key(2), mres, num_samples=200, num_warmup=150, max_depth=6
+    )
+    assert np.isfinite(np.asarray(nout.samples)).all()
+
+
+def test_zero_warmup_respects_init_step_size():
+    """``num_warmup=0`` (use a known-good step size, skip adaptation) must
+    sample at ``init_step_size``, not at exp(0)=1."""
+    from pathfinder_tpu.integrations.nuts import nuts
+
+    rng = np.random.default_rng(11)
+    metric, _ = make_metric(rng, n=3, m=0)
+    vg = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x * x))
+    out = hmc(
+        jax.random.key(0), vg, metric, jnp.zeros(3),
+        num_samples=20, num_warmup=0, init_step_size=0.05,
+    )
+    assert float(out.step_size) == pytest.approx(0.05)
+    nout = nuts(
+        jax.random.key(1), vg, metric, jnp.zeros(3),
+        num_samples=20, num_warmup=0, max_depth=4, init_step_size=0.05,
+    )
+    assert float(nout.step_size) == pytest.approx(0.05)
+
+
+def test_stacked_size_mismatch_raises():
+    """Block sizes that don't cover the vector must error, not silently
+    truncate the parameter vector (dropping gradients and Jacobian terms)."""
+    st = Stacked([(Exp(), 3)])
+    with pytest.raises(ValueError, match="sum to the target dimension"):
+        st.forward(jnp.zeros(5))
+    with pytest.raises(ValueError, match="sum to the target dimension"):
+        st.forward_log_det(jnp.zeros(2))
+    with pytest.raises(ValueError, match=">= 1"):
+        Stacked([(Exp(), 0)])
+
+
+def test_resolve_value_and_grad_stable_identity():
+    """Warm-start resolution must return the identical callable across
+    calls: it is a static jit argument of hmc/nuts, so a fresh closure per
+    call would recompile the whole sampler every time."""
+    from pathfinder_tpu.integrations.hmc import resolve_result_value_and_grad
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    res = pathfinder(logp, dim=3, key=jax.random.key(0), ndraws=5, maxiters=20)
+    vg1 = resolve_result_value_and_grad(res)
+    vg2 = resolve_result_value_and_grad(res)
+    assert vg1 is vg2
