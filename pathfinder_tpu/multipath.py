@@ -40,9 +40,6 @@ def _select_component_fits(states: SinglePathState) -> MvNormal:
     return states.fit_distribution
 
 
-from functools import partial
-
-
 @jax.jit
 def _log_importance_ratios_fit(components: MvNormal, draws_knd: jax.Array):
     """logq of each draw under *its own* component (not the mixture!) —
@@ -266,6 +263,9 @@ def multipathfinder(
 
     if init is not None:
         init = jnp.asarray(init)
+        if not jnp.issubdtype(init.dtype, jnp.floating):
+            # plain Python int lists / np int arrays: optimize in float
+            init = init.astype(jnp.zeros(0).dtype)
         if init.ndim != 2:
             raise ValueError("init must have shape (nruns, dim)")
         nruns = init.shape[0]
@@ -282,6 +282,10 @@ def multipathfinder(
         target = as_log_density(dataclasses.replace(target, dim=d))
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
+    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+        raise ValueError(
+            f"dtype must be a floating type; got {jnp.dtype(dtype).name}"
+        )
     sampler = init_sampler or uniform_init_sampler(init_scale)
 
     if ndraws_per_run is None:
@@ -439,8 +443,11 @@ def resample(
 
     Reuses stored per-path draws (and the stored PSIS result) unless
     ``ndraws_per_run`` requests fresh draws from each component; recomputes
-    PSIS when needed; preserves every other field
-    (``src/resample.jl:119-137``). The stored PSIS result is tagged with
+    PSIS when needed; preserves every field other than the draws,
+    component ids, transformed draws, candidate pool, and ``psis_result``
+    — which, matching the reference (``src/resample.jl:119-137`` and its
+    docstring), reflects the *new* draws: ``importance=False`` stores
+    ``psis_result=None`` even when a stored diagnostic existed. The stored PSIS result is tagged with
     the denominator that produced it (``result.importance_denominator``):
     leaving ``importance_denominator=None`` reuses it as-is, and an
     explicit value only triggers a recompute when it differs from the tag.
@@ -496,5 +503,9 @@ def resample(
         draw_component_ids=component_ids,
         draws_transformed=draws_transformed,
         psis_result=psis_used,
+        # the candidate pool the (possibly fresh) psis_result was computed
+        # on — a later resample() on this result must pair matching
+        # weights and draws
+        draws_per_component=draws_knd,
         importance_denominator=effective_denom,
     )

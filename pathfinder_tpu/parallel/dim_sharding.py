@@ -55,6 +55,14 @@ def shard_dim(tree, mesh: Mesh, dim: Optional[int] = None):
     program and inserts the m-length reductions as collectives.
     """
     n_dev = mesh.devices.size
+    if dim is not None and dim % n_dev != 0:
+        # an explicit dim the mesh cannot divide would silently replicate
+        # every leaf — the exact OOM/perf problem shard_dim exists to avoid
+        raise ValueError(
+            f"dim={dim} is not divisible by the {n_dev}-device mesh; pad "
+            f"the parameter dimension to a multiple of {n_dev} (e.g. "
+            "jnp.pad) or use a divisible mesh."
+        )
     if dim is None:
         # default: only the LARGEST shardable leading axis is the parameter
         # dimension; smaller leading axes (m×m cores, scalars) replicate
@@ -67,6 +75,14 @@ def shard_dim(tree, mesh: Mesh, dim: Optional[int] = None):
             and leaf.shape[0] > 1
         ]
         dim = max(sizes) if sizes else -1
+        if dim == -1:
+            import warnings
+
+            warnings.warn(
+                f"shard_dim: no leaf has a leading axis divisible by the "
+                f"{n_dev}-device mesh; every leaf will be REPLICATED, not "
+                "sharded. Pass dim= explicitly or pad the arrays."
+            )
 
     def place(leaf):
         leaf = jax.numpy.asarray(leaf)

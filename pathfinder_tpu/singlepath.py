@@ -295,11 +295,21 @@ class PathfinderResult:
         keys = jax.vmap(lambda i: jax.random.fold_in(key_elbo, i))(
             jnp.arange(L)
         )
-        return jax.vmap(
+        est = jax.vmap(
             lambda k, dst: elbo_and_samples(
                 k, self.logp, dst, self.config.ndraws_elbo
             )
         )(keys, dists)
+        # candidates past the trajectory end replay against stale trace
+        # padding and can yield finite nonsense — mask them to NaN so the
+        # replayed values agree with the core's stored elbo_values
+        # (NaN = invalid) index-for-index
+        invalid = jnp.isnan(self.elbo_values)
+        nan = jnp.asarray(jnp.nan, est.value.dtype)
+        return est._replace(
+            value=jnp.where(invalid, nan, est.value),
+            std_err=jnp.where(invalid, nan, est.std_err),
+        )
 
     def __repr__(self):
         n = int(self.optim_trace.num_valid) - 1
@@ -375,6 +385,9 @@ def pathfinder(
         ndraws = ndraws_elbo
     if init is not None:
         init = jnp.asarray(init)
+        if not jnp.issubdtype(init.dtype, jnp.floating):
+            # plain Python int lists / np int arrays: optimize in float
+            init = init.astype(jnp.zeros(0).dtype)
         if dtype is not None:
             init = init.astype(dtype)
         d = init.shape[0]
@@ -387,6 +400,10 @@ def pathfinder(
         target = as_log_density(target)
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
+    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+        raise ValueError(
+            f"dtype must be a floating type; got {jnp.dtype(dtype).name}"
+        )
     if jnp.finfo(dtype).bits < 32:
         # measured on TPU v5e (d=1000, 100 paths): bf16 state makes the
         # curvature pairs s=x_{l+1}-x_l cancel to noise — 0/100 paths

@@ -13,6 +13,7 @@ pass ``fn=`` at load time to re-bind them; everything needed by
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from typing import Any, Optional
 
@@ -23,6 +24,16 @@ import numpy as np
 __all__ = ["save_result", "load_result", "TYPE_REGISTRY"]
 
 
+def __getattr__(name):
+    # TYPE_REGISTRY is the name -> class mapping of serializable node types.
+    # It must be built lazily (the classes live in modules that import this
+    # package), so expose it via PEP 562 instead of a module constant.
+    if name == "TYPE_REGISTRY":
+        return _registry()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+@functools.lru_cache(maxsize=1)
 def _registry():
     from pathfinder_tpu.multipath import MultiPathfinderResult
     from pathfinder_tpu.ops.elbo import ELBOEstimate
@@ -54,9 +65,6 @@ def _registry():
     }
 
 
-TYPE_REGISTRY = _registry
-
-
 def _field_items(obj):
     if dataclasses.is_dataclass(obj):
         return [(f.name, getattr(obj, f.name)) for f in dataclasses.fields(obj)]
@@ -81,7 +89,7 @@ def _encode(obj, arrays: dict, counter: list):
         arrays[aid] = np.asarray(obj)
         return {"arr": aid}
     items = _field_items(obj)
-    if items is not None and type(obj).__name__ in TYPE_REGISTRY():
+    if items is not None and type(obj).__name__ in _registry():
         return {
             "type": type(obj).__name__,
             "fields": {k: _encode(v, arrays, counter) for k, v in items},
@@ -116,7 +124,7 @@ def _decode(meta, arrays, rebind: dict, unbound: set):
     if "skip" in meta:
         return None
     if "type" in meta:
-        cls = TYPE_REGISTRY()[meta["type"]]
+        cls = _registry()[meta["type"]]
         fields = {
             k: _decode(v, arrays, rebind, unbound)
             for k, v in meta["fields"].items()

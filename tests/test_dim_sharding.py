@@ -108,3 +108,18 @@ def test_shard_dim_replicates_small_cores(mesh):
     d_spec = D_s.sharding.spec
     assert b_spec[0] == "dim"
     assert len(d_spec) == 0 or all(s is None for s in d_spec)
+
+
+def test_shard_dim_rejects_indivisible_explicit_dim(mesh):
+    """An explicit dim the mesh cannot divide must raise, not silently
+    replicate every leaf."""
+    x = jnp.zeros(1001)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_dim((x,), mesh, dim=1001)
+
+
+def test_shard_dim_warns_when_nothing_shardable(mesh):
+    """Default-dim discovery finding no divisible leading axis must warn
+    that everything will be replicated."""
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        shard_dim((jnp.zeros(7), jnp.zeros(3)), mesh)

@@ -435,3 +435,44 @@ def test_resample_reuses_stored_psis_for_matching_denominator():
     assert not np.allclose(
         np.asarray(r4.psis_result.weights), np.asarray(res.psis_result.weights)
     )
+
+
+def test_resample_fresh_pool_updates_draws_per_component():
+    """``resample(ndraws_per_run=N)`` must store the fresh candidate pool it
+    computed PSIS on — a chained ``resample`` would otherwise pair the new
+    weights with the stale pool (length-mismatched, silently biased)."""
+    target = CorrelatedGaussian(4, seed=5)
+    res = multipathfinder(
+        target, 40, key=jax.random.key(1), nruns=3, maxiters=50
+    )
+    n0 = res.draws_per_component.shape[1]
+    r2 = resample(res, 60, key=jax.random.key(2), ndraws_per_run=n0 + 13)
+    assert r2.draws_per_component.shape == (3, n0 + 13, 4)
+    assert r2.psis_result.log_weights.size == 3 * (n0 + 13)
+    # chained resample on the fresh-pool result: weights and pool agree
+    r3 = resample(r2, 60, key=jax.random.key(3))
+    assert r3.draws.shape == (4, 60)
+    assert np.isfinite(np.asarray(r3.draws)).all()
+    # every resampled draw actually comes from the stored pool
+    pool = np.asarray(r2.draws_per_component)  # (K, N, d)
+    flat = pool.reshape(-1, pool.shape[-1])
+    d3 = np.asarray(r3.draws).T  # (60, d)
+    for row in d3[:5]:
+        assert np.any(np.all(np.isclose(flat, row, atol=1e-6), axis=1))
+
+
+def test_integer_init_and_dtype_validation():
+    """Plain int init lists optimize in float; an explicit integer dtype
+    raises a clear error instead of an obscure jnp.finfo ValueError."""
+    target = CorrelatedGaussian(3, seed=2)
+    res = multipathfinder(
+        target, 20, key=jax.random.key(0), nruns=2, maxiters=40,
+        init=[[0, 0, 0], [1, 1, 1]],
+    )
+    assert jnp.issubdtype(res.draws.dtype, jnp.floating)
+    assert np.asarray(res.states.success).all()
+    with pytest.raises(ValueError, match="floating"):
+        multipathfinder(
+            target, 20, key=jax.random.key(0), nruns=2, maxiters=40,
+            dtype=jnp.int32,
+        )

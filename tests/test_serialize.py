@@ -144,3 +144,14 @@ def test_roundtrip_bayes_model_result(tmp_path):
     r2b = resample(res, 50)
     np.testing.assert_array_equal(np.asarray(r2.draws), np.asarray(r2b.draws))
     assert np.all(np.asarray(r2.draws_transformed["sigma"]) > 0)
+
+
+def test_type_registry_is_a_mapping():
+    """``TYPE_REGISTRY`` is exported as a mapping (PEP 562 lazy build): the
+    documented extension/introspection point must be subscriptable."""
+    from pathfinder_tpu.utils.serialize import TYPE_REGISTRY
+
+    assert "MvNormal" in TYPE_REGISTRY
+    from pathfinder_tpu.ops.mvnormal import MvNormal
+
+    assert TYPE_REGISTRY["MvNormal"] is MvNormal

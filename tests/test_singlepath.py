@@ -221,3 +221,42 @@ def test_progress_try_lines(capsys):
     assert "Optimizing (try 1)" in err
     if int(res.num_tries) > 1:
         assert f"Optimizing (try {int(res.num_tries)})" in err
+
+
+def test_integer_init_casts_to_float():
+    """A plain Python int init must optimize in float (was: obscure
+    jnp.finfo ValueError); an explicit integer dtype raises clearly."""
+    res = pathfinder(
+        StandardNormal(3), key=jax.random.key(0), init=[1, 1, 1], maxiters=30
+    )
+    assert res.success
+    assert jnp.issubdtype(res.draws.dtype, jnp.floating)
+    with pytest.raises(ValueError, match="floating"):
+        pathfinder(
+            StandardNormal(3), key=jax.random.key(0), dtype=jnp.int32,
+            maxiters=30,
+        )
+
+
+def test_elbo_estimates_replay_masks_invalid_candidates():
+    """Replayed per-candidate estimates must be NaN exactly where the
+    stored elbo_values are NaN (candidates past the trajectory end replay
+    against stale trace padding)."""
+    res = pathfinder(
+        StandardNormal(4), key=jax.random.key(3), maxiters=50, ndraws_elbo=5
+    )
+    assert res.success
+    stored = np.asarray(res.elbo_values)
+    assert np.isnan(stored).any()  # converged well before maxiters
+    est = res.elbo_estimates
+    np.testing.assert_array_equal(
+        np.isnan(np.asarray(est.value)), np.isnan(stored)
+    )
+    np.testing.assert_array_equal(
+        np.isnan(np.asarray(est.std_err)), np.isnan(stored)
+    )
+    # valid candidates replay to the stored values
+    m = ~np.isnan(stored)
+    np.testing.assert_allclose(
+        np.asarray(est.value)[m], stored[m], rtol=1e-5, atol=1e-5
+    )
