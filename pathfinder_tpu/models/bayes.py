@@ -83,6 +83,9 @@ class Normal(Distribution):
     scale: float = 1.0
     bijector: Bijector = Identity()
 
+    def __post_init__(self):
+        _check_positive("Normal", scale=self.scale)
+
     def log_prob(self, x):
         z = (x - self.loc) / self.scale
         return -0.5 * (z * z + _LOG_2PI) - jnp.log(jnp.asarray(self.scale, x.dtype))
@@ -95,6 +98,9 @@ class Normal(Distribution):
 class HalfNormal(Distribution):
     scale: float = 1.0
     bijector: Bijector = Exp()
+
+    def __post_init__(self):
+        _check_positive("HalfNormal", scale=self.scale)
 
     def log_prob(self, x):
         z = x / self.scale
@@ -114,12 +120,20 @@ class LogNormal(Distribution):
     scale: float = 1.0
     bijector: Bijector = Exp()
 
+    def __post_init__(self):
+        _check_positive("LogNormal", scale=self.scale)
+
     def log_prob(self, x):
-        lx = jnp.log(x)
+        # safe-where: at x = 0 (f32 underflow of Exp.forward during a line
+        # search) the naive -z^2/2 - log(x) is -inf + inf = NaN; the true
+        # limit is -inf, and the double-where keeps gradients NaN-free
+        pos = x > 0
+        lx = jnp.log(jnp.where(pos, x, 1.0))
         z = (lx - self.loc) / self.scale
-        return -0.5 * (z * z + _LOG_2PI) - jnp.log(
+        val = -0.5 * (z * z + _LOG_2PI) - jnp.log(
             jnp.asarray(self.scale, x.dtype)
         ) - lx
+        return jnp.where(pos, val, -jnp.inf)
 
     def sample(self, key, shape):
         return jnp.exp(self.loc + self.scale * jax.random.normal(key, shape))
@@ -129,6 +143,9 @@ class LogNormal(Distribution):
 class Exponential(Distribution):
     rate: float = 1.0
     bijector: Bijector = Exp()
+
+    def __post_init__(self):
+        _check_positive("Exponential", rate=self.rate)
 
     def log_prob(self, x):
         return jnp.log(jnp.asarray(self.rate, x.dtype)) - self.rate * x
@@ -141,6 +158,16 @@ class Exponential(Distribution):
 class Uniform(Distribution):
     low: float = 0.0
     high: float = 1.0
+
+    def __post_init__(self):
+        if (
+            isinstance(self.low, (int, float))
+            and isinstance(self.high, (int, float))
+            and not self.high > self.low
+        ):
+            raise ValueError(
+                f"Uniform: high must exceed low, got ({self.low}, {self.high})"
+            )
 
     @property
     def bijector(self) -> Bijector:
@@ -162,14 +189,21 @@ class Beta(Distribution):
     def bijector(self) -> Bijector:
         return Interval(0.0, 1.0)
 
-    def log_prob(self, x):
-        from jax.scipy.special import betaln
+    def __post_init__(self):
+        _check_positive("Beta", a=self.a, b=self.b)
 
-        return (
-            (self.a - 1.0) * jnp.log(x)
-            + (self.b - 1.0) * jnp.log1p(-x)
-            - betaln(self.a, self.b)
-        )
+    def log_prob(self, x):
+        from jax.scipy.special import betaln, xlog1py, xlogy
+
+        # unit shapes: drop the term statically — xlogy keeps the VALUE
+        # finite at a saturated-bijector corner (0*log(0)=0) but its
+        # gradient is (a-1)/x = 0/0 = NaN there; a, b are static floats
+        out = -betaln(self.a, self.b) + jnp.zeros_like(x)
+        if not (isinstance(self.a, float) and self.a == 1.0):
+            out = out + xlogy(self.a - 1.0, x)
+        if not (isinstance(self.b, float) and self.b == 1.0):
+            out = out + xlog1py(self.b - 1.0, -x)
+        return out
 
     def sample(self, key, shape):
         return jax.random.beta(key, self.a, self.b, shape)
@@ -199,15 +233,16 @@ class Gamma(Distribution):
         )
 
     def log_prob(self, x):
-        from jax.scipy.special import gammaln
+        from jax.scipy.special import gammaln, xlogy
 
         a, b = self.concentration, self.rate
-        return (
-            a * jnp.log(b)
-            - gammaln(a)
-            + (a - 1.0) * jnp.log(x)
-            - b * x
-        )
+        out = a * jnp.log(b) - gammaln(a) - b * x
+        # a == 1 (the default): drop the shape term statically — xlogy
+        # keeps the VALUE finite when Exp.forward underflows to exactly 0
+        # in float32 (0*log(0)=0) but its gradient is 0/0 = NaN there
+        if not (isinstance(a, float) and a == 1.0):
+            out = out + xlogy(a - 1.0, x)
+        return out
 
     def sample(self, key, shape):
         return jax.random.gamma(key, self.concentration, shape) / self.rate
@@ -286,6 +321,7 @@ class Dirichlet(Distribution):
 
     def __init__(self, alpha):
         self.alpha = tuple(float(a) for a in alpha)
+        _check_positive("Dirichlet", **{f"alpha[{i}]": a for i, a in enumerate(self.alpha)})
 
     def __hash__(self):
         return hash(("Dirichlet", self.alpha))
@@ -304,14 +340,20 @@ class Dirichlet(Distribution):
     def log_prob(self, x):
         # x: the first K-1 simplex coordinates; returns the BLOCK total
         # (BayesModel.logprior sums, so a scalar is fine)
-        from jax.scipy.special import gammaln
+        from jax.scipy.special import gammaln, xlogy
 
         x = jnp.atleast_1d(x)  # size-1 blocks arrive as 0-d scalars
         a = jnp.asarray(self.alpha, x.dtype)
         x_last = 1.0 - jnp.sum(x)
-        logx = jnp.concatenate([jnp.log(x), jnp.log(x_last)[None]])
+        xs = jnp.concatenate([x, x_last[None]])
         log_beta = jnp.sum(gammaln(a)) - gammaln(jnp.sum(a))
-        return jnp.sum((a - 1.0) * logx) - log_beta
+        # unit-alpha components are dropped statically (value AND gradient
+        # stay finite at simplex corners; xlogy alone fixes only the value)
+        keep = [i for i, ai in enumerate(self.alpha) if ai != 1.0]
+        if not keep:
+            return -log_beta + jnp.zeros((), x.dtype)
+        ki = jnp.asarray(keep)
+        return jnp.sum(xlogy(a[ki] - 1.0, xs[ki])) - log_beta
 
     def sample(self, key, shape):
         if shape != (self.size,):
@@ -463,13 +505,31 @@ class BayesModel:
             if name not in full:
                 raise KeyError(f"unknown parameter {name!r}")
             full[name] = jnp.asarray(val)
-        return self.bijector.inverse(self.join(full))
+        z = self.bijector.inverse(self.join(full))
+        if not bool(jnp.isfinite(z).all()):
+            # name the offending parameter(s) instead of letting every
+            # pathfinder try fail on a silent NaN init (the reference's
+            # InitFromParams validates support)
+            zf = jnp.isfinite(z)
+            bad, i = [], 0
+            for name, _, size in self.priors:
+                if not bool(zf[i : i + size].all()):
+                    bad.append(name)
+                i += size
+            raise ValueError(
+                f"init_from_params: value(s) for {bad} are outside the "
+                "support of their prior (unconstrained init is non-finite)"
+            )
+        return z
 
     # -- draw conversion (parity: draws_to_chains + ParamsWithStats) ----------
     def constrain_draws(self, draws: jax.Array) -> Dict[str, jax.Array]:
         """Unconstrained ``(dim, ndraws)`` → named constrained arrays with a
         leading draws axis."""
         con = jax.vmap(self.bijector.forward, in_axes=1)(draws)  # (N, dim)
+        return self._split_constrained(con)
+
+    def _split_constrained(self, con: jax.Array) -> Dict[str, jax.Array]:
         out, i = {}, 0
         for name, _, size in self.priors:
             block = con[:, i : i + size]
@@ -477,13 +537,19 @@ class BayesModel:
             i += size
         return out
 
-    def pointwise_stats(self, draws: jax.Array) -> Dict[str, jax.Array]:
+    def pointwise_stats(
+        self, draws: jax.Array, constrained: Optional[jax.Array] = None
+    ) -> Dict[str, jax.Array]:
         """Per-draw ``logprior`` / ``loglikelihood`` / ``logjoint`` of the
         constrained draws (the reference chains' Extras,
-        ``ext/PathfinderTuringExt.jl:43-48``)."""
+        ``ext/PathfinderTuringExt.jl:43-48``). ``constrained``: optional
+        already-transformed ``(N, dim)`` matrix, to skip re-running the
+        bijector forward pass."""
+        if constrained is None:
+            constrained = jax.vmap(self.bijector.forward, in_axes=1)(draws)
 
-        def one(z):
-            params = self.split(self.bijector.forward(z))
+        def one(x):
+            params = self.split(x)
             lp = self.logprior(params)
             ll = (
                 self.loglikelihood(params)
@@ -492,12 +558,14 @@ class BayesModel:
             )
             return lp, ll
 
-        lp, ll = jax.vmap(one, in_axes=1)(draws)
+        lp, ll = jax.vmap(one)(constrained)
         return {"logprior": lp, "loglikelihood": ll, "logjoint": lp + ll}
 
     def draws_to_chain(self, draws: jax.Array) -> Dict[str, jax.Array]:
         """Named constrained draws + per-draw stats in one dict — the
-        chain-object analog used for ``draws_transformed``."""
-        out = self.constrain_draws(draws)
-        out.update(self.pointwise_stats(draws))
+        chain-object analog used for ``draws_transformed``; the bijector
+        forward pass over the draw matrix runs once."""
+        con = jax.vmap(self.bijector.forward, in_axes=1)(draws)
+        out = self._split_constrained(con)
+        out.update(self.pointwise_stats(draws, constrained=con))
         return out

@@ -20,13 +20,23 @@ import jax
 __all__ = ["LogDensity", "as_log_density", "from_pytree_logp", "PytreeTarget"]
 
 
-@functools.lru_cache(maxsize=256)
 def cached_value_and_grad(logp: Callable) -> Callable:
     """``jax.value_and_grad`` with a stable identity per ``logp``: consumers
     that pass the result as a jit *static* argument (the HMC/NUTS samplers)
     would otherwise recompile on every call, since each
-    ``jax.value_and_grad(f)`` invocation returns a fresh function object."""
-    return jax.value_and_grad(logp)
+    ``jax.value_and_grad(f)`` invocation returns a fresh function object.
+
+    The derived function is cached as an attribute *on* ``logp`` (not in a
+    module-level table) so its lifetime — and that of any arrays the
+    closure captures — is exactly the target's own."""
+    vg = getattr(logp, "_pf_cached_vg", None)
+    if vg is None:
+        vg = jax.value_and_grad(logp)
+        try:
+            logp._pf_cached_vg = vg
+        except (AttributeError, TypeError):
+            pass  # no __dict__ (e.g. functools.partial): uncached
+    return vg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +70,15 @@ class LogDensity:
     def __eq__(self, other):
         return isinstance(other, LogDensity) and self._key() == other._key()
 
+    def with_dim(self, dim) -> "LogDensity":
+        """Copy with ``dim`` filled in. A derived ``value_and_grad`` is
+        re-derived (not copied as if explicit) so the result hashes equal
+        to a directly-constructed ``LogDensity(logp, dim)`` — mixing the
+        two construction paths must not split the jit cache."""
+        if self._vg_derived:
+            return LogDensity(logp=self.logp, dim=dim)
+        return dataclasses.replace(self, dim=dim)
+
 
 def as_log_density(fn, dim=None, grad=None) -> LogDensity:
     """Coerce user input into a :class:`LogDensity`.
@@ -75,11 +94,12 @@ def as_log_density(fn, dim=None, grad=None) -> LogDensity:
     """
     if isinstance(fn, LogDensity):
         if dim is not None and fn.dim is None:
-            return dataclasses.replace(fn, dim=dim)
+            return fn.with_dim(dim)
         return fn
     if hasattr(fn, "logp"):
         logp = fn.logp
-        d = getattr(fn, "dim", dim)
+        # a present-but-None dim attribute must not shadow the caller's dim
+        d = fn.dim if getattr(fn, "dim", None) is not None else dim
         vg = getattr(fn, "value_and_grad", None) or getattr(
             fn, "logp_and_grad", None
         )
@@ -93,9 +113,21 @@ def as_log_density(fn, dim=None, grad=None) -> LogDensity:
 
 
 def _vg_from_parts(logp, grad):
+    # cached on the logp object, keyed by grad identity: repeated
+    # pathfinder(fn, grad=g) calls must produce the same LogDensity hash
+    # (vg is part of _key when explicit) or the jitted core recompiles
+    # every call
+    cache = getattr(logp, "_pf_vg_parts", None)
+    if cache is not None and cache[0] is grad:
+        return cache[1]
+
     def value_and_grad(x):
         return logp(x), grad(x)
 
+    try:
+        logp._pf_vg_parts = (grad, value_and_grad)
+    except (AttributeError, TypeError):
+        pass  # no __dict__: uncached
     return value_and_grad
 
 

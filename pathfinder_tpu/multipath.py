@@ -279,7 +279,7 @@ def multipathfinder(
         if d is None:
             raise ValueError("`dim` must be provided when `fn` has no dimension.")
     if target.dim is None:
-        target = as_log_density(dataclasses.replace(target, dim=d))
+        target = target.with_dim(d)
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
     if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):

@@ -396,8 +396,7 @@ def pathfinder(
         if d is None:
             raise ValueError("An initial point `init` or dimension `dim` must be provided.")
     if target.dim is None:
-        target = dataclasses.replace(target, dim=d)
-        target = as_log_density(target)
+        target = target.with_dim(d)
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
     if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):

@@ -653,3 +653,105 @@ def test_dirichlet_two_categories():
     np.testing.assert_allclose(lp, st.beta(2.0, 3.0).logpdf(0.4), rtol=1e-6)
     res = pathfinder(m, key=jax.random.key(0), ndraws=100, maxiters=40)
     assert res.success
+
+
+def test_prior_parameter_validation():
+    """Invalid distribution parameters raise named errors at construction,
+    not NaN deep inside the jitted optimizer."""
+    from pathfinder_tpu.models.bayes import Dirichlet, Gamma
+
+    with pytest.raises(ValueError, match="Normal.*scale"):
+        Normal(0.0, -1.0)
+    with pytest.raises(ValueError, match="HalfNormal.*scale"):
+        HalfNormal(0.0)
+    with pytest.raises(ValueError, match="LogNormal.*scale"):
+        LogNormal(0.0, -2.0)
+    with pytest.raises(ValueError, match="Exponential.*rate"):
+        Exponential(-1.0)
+    with pytest.raises(ValueError, match="Beta"):
+        Beta(-2.0, 1.0)
+    with pytest.raises(ValueError, match="Uniform.*high"):
+        Uniform(1.0, 0.0)
+    with pytest.raises(ValueError, match="Dirichlet"):
+        Dirichlet([1.0, -0.5])
+    with pytest.raises(ValueError, match="Gamma"):
+        Gamma(concentration=-1.0)
+
+
+def test_boundary_log_prob_no_nan():
+    """Unit-shape densities stay finite (and others -inf, never NaN) when
+    the bijector output saturates to the support boundary in float32 —
+    a line-search trial far into the tail must not poison the gradient."""
+    from pathfinder_tpu.models.bayes import Dirichlet, Gamma
+
+    zero = jnp.asarray(0.0, jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
+    # Gamma(1, b) at x=0 is Exponential(b): log b
+    np.testing.assert_allclose(
+        float(Gamma(1.0, 2.0).log_prob(zero)), np.log(2.0), rtol=1e-6
+    )
+    # Beta(1,1) is Uniform: log_prob = 0 at both corners
+    assert float(Beta(1.0, 1.0).log_prob(zero)) == 0.0
+    assert float(Beta(1.0, 1.0).log_prob(one)) == 0.0
+    # LogNormal at x=0: the true limit is -inf, not NaN
+    assert float(LogNormal().log_prob(zero)) == -np.inf
+    # Dirichlet(1,1,1) at a simplex corner: log Beta-normalizer, finite
+    d = Dirichlet([1.0, 1.0, 1.0])
+    v = float(d.log_prob(jnp.asarray([1.0, 0.0], jnp.float32)))
+    assert np.isfinite(v)
+    # gradient through the linked density stays NaN-free at extreme z
+    m = BayesModel(
+        priors={"sigma": (Gamma(1.0, 1.0), 1)},
+        loglikelihood=None,
+    )
+    vg = m.transformed.unconstrained.value_and_grad
+    val, g = vg(jnp.asarray([-90.0], jnp.float32))  # exp(-90) -> 0 in f32
+    assert not np.isnan(float(val))
+    assert not np.isnan(float(g[0]))
+
+
+def test_init_from_params_out_of_support_raises():
+    """A fixed value outside its prior's support raises a ValueError naming
+    the parameter (the reference InitFromParams validates support) instead
+    of producing a NaN init that silently fails every try."""
+    m = BayesModel(
+        priors={"p": (Uniform(0.0, 1.0), 1), "mu": (Normal(), 1)},
+        loglikelihood=None,
+    )
+    with pytest.raises(ValueError, match=r"\['p'\]"):
+        m.init_from_params({"p": 1.5})
+    # in-support values still work
+    z = m.init_from_params({"p": 0.25, "mu": 2.0})
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_log_density_hash_stable_across_paths():
+    """LogDensity instances from different construction paths over the same
+    logp must hash equal — the jitted core's static target key must not
+    split (a split means a full recompile per call pattern)."""
+    from pathfinder_tpu.models.protocol import LogDensity, as_log_density
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    a = as_log_density(LogDensity(logp), dim=5)  # with_dim path
+    b = LogDensity(logp, dim=5)  # direct path
+    assert a == b and hash(a) == hash(b)
+
+    # explicit grad: repeated calls produce equal targets (cached parts vg)
+    def grad(x):
+        return -x
+
+    c1 = as_log_density(logp, dim=5, grad=grad)
+    c2 = as_log_density(logp, dim=5, grad=grad)
+    assert c1 == c2 and hash(c1) == hash(c2)
+
+    # duck-typed object with a present-but-None dim honors the caller's dim
+    class Obj:
+        dim = None
+
+        @staticmethod
+        def logp(x):
+            return -0.5 * jnp.sum(x * x)
+
+    assert as_log_density(Obj(), dim=7).dim == 7
