@@ -177,6 +177,17 @@ def resolve_result_value_and_grad(result) -> Callable:
     return cached_value_and_grad(result.logp)
 
 
+def leapfrog_step(value_and_grad: Callable, metric: WoodburyMetric, x, p, g, eps):
+    """One leapfrog step; ``g = ∇logp(x)`` (= −∇U). Returns
+    ``(x, p, g, logp)`` at the new point. The single integration kernel
+    shared by :func:`leapfrog`/:func:`hmc` and the NUTS tree builder."""
+    p_half = p + 0.5 * eps * g
+    x_new = x + eps * metric.grad_kinetic(p_half)
+    logp_new, g_new = value_and_grad(x_new)
+    p_new = p_half + 0.5 * eps * g_new
+    return x_new, p_new, g_new, logp_new
+
+
 def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps, n_steps: int):
     """``n_steps`` leapfrog steps; returns ``(x, p, logp, grad)`` at the end.
 
@@ -185,14 +196,42 @@ def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps
 
     def step(carry, _):
         x, p, g = carry
-        p_half = p + 0.5 * eps * g  # g = ∇logp = −∇U
-        x_new = x + eps * metric.grad_kinetic(p_half)
-        logp_new, g_new = value_and_grad(x_new)
-        p_new = p_half + 0.5 * eps * g_new
-        return (x_new, p_new, g_new), logp_new
+        x, p, g, logp = leapfrog_step(value_and_grad, metric, x, p, g, eps)
+        return (x, p, g), logp
 
     (x, p, g), logps = lax.scan(step, (x, p, grad_x), None, length=n_steps)
     return x, p, logps[-1], g
+
+
+def da_init(init_step_size, dtype):
+    """Dual-averaging state ``(mu, log_eps, log_eps_bar, h_acc, t)``
+    (Hoffman & Gelman 2014, sec. 3.2). ``log_eps_bar`` is seeded with
+    ``init_step_size`` so a zero-length warmup samples at the requested
+    step size; the first update (weight ``w = 1^{-κ} = 1``) overwrites it
+    entirely."""
+    le = jnp.asarray(jnp.log(init_step_size), dtype)
+    return (
+        jnp.asarray(jnp.log(10.0 * init_step_size), dtype),
+        le,
+        le,
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+    )
+
+
+def da_update(da, astat, target_accept):
+    """One dual-averaging step (Hoffman & Gelman 2014, eq. 6) — the single
+    copy shared by :func:`hmc` and :func:`~pathfinder_tpu.integrations.nuts.nuts`."""
+    mu, log_eps, log_eps_bar, h_acc, t_prev = da
+    t = t_prev + 1.0
+    kappa, gamma, t0 = 0.75, 0.05, 10.0
+    h_acc = (1.0 - 1.0 / (t + t0)) * h_acc + (target_accept - astat) / (
+        t + t0
+    )
+    log_eps = mu - jnp.sqrt(t) / gamma * h_acc
+    w = t ** (-kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+    return (mu, log_eps, log_eps_bar, h_acc, t)
 
 
 class HMCResult(NamedTuple):
@@ -227,27 +266,14 @@ def hmc(
     dtype = x0.dtype
     logp0, grad0 = value_and_grad(x0)
 
-    mu = jnp.log(10.0 * init_step_size)
-    da0 = (
-        jnp.asarray(jnp.log(init_step_size), dtype),  # log eps
-        # log eps averaged: seeded with init_step_size so num_warmup=0
-        # samples at the requested step size (the first DA update has
-        # weight w = 1^{-κ} = 1, so this seed is irrelevant once any
-        # warmup runs)
-        jnp.asarray(jnp.log(init_step_size), dtype),
-        jnp.zeros((), dtype),  # H accumulator
-    )
-
-    def transition(carry, inp):
-        x, logp, g, da, is_warmup_t = carry
-        k = inp
+    def mh_step(x, logp, g, eps_base, k):
+        """One Metropolis-Hastings HMC transition at base step size
+        ``eps_base`` (jittered ±20% to break resonances on near-Gaussian
+        targets)."""
         k_mom, k_acc, k_jit = jax.random.split(k, 3)
-        log_eps, log_eps_bar, h_acc = da
-        # jitter the step size to break resonances on near-Gaussian targets
-        eps = jnp.exp(log_eps) * jax.random.uniform(
+        eps = eps_base * jax.random.uniform(
             k_jit, dtype=dtype, minval=0.8, maxval=1.2
         )
-
         p = metric.sample_momentum(k_mom)
         ke0 = metric.kinetic_energy(p)
         x_new, p_new, logp_new, g_new = leapfrog(
@@ -258,51 +284,28 @@ def hmc(
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
         accept = jax.random.uniform(k_acc, dtype=dtype) < accept_prob
-
         x = jnp.where(accept, x_new, x)
         logp = jnp.where(accept, logp_new, logp)
         g = jnp.where(accept, g_new, g)
+        return x, logp, g, accept_prob
 
-        # dual averaging (Hoffman & Gelman 2014, eq. 6) during warmup
-        t = is_warmup_t + 1.0
-        kappa, gamma, t0 = 0.75, 0.05, 10.0
-        h_acc_new = (1.0 - 1.0 / (t + t0)) * h_acc + (
-            target_accept - accept_prob
-        ) / (t + t0)
-        log_eps_new = mu - jnp.sqrt(t) / gamma * h_acc_new
-        w = t ** (-kappa)
-        log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
-        da_new = (log_eps_new, log_eps_bar_new, h_acc_new)
-
-        return (x, logp, g, da_new, t), (x, accept_prob, logp)
+    def transition(carry, k):
+        x, logp, g, da = carry
+        x, logp, g, accept_prob = mh_step(x, logp, g, jnp.exp(da[1]), k)
+        da = da_update(da, accept_prob, target_accept)
+        return (x, logp, g, da), (x, accept_prob, logp)
 
     keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
-    carry = (x0, logp0, grad0, da0, jnp.zeros((), dtype))
+    carry = (x0, logp0, grad0, da_init(init_step_size, dtype))
     carry, _ = lax.scan(transition, carry, keys_w)
 
-    # freeze the adapted step size for sampling
-    x, logp, g, (log_eps, log_eps_bar, h_acc), _ = carry
-    eps_final = jnp.exp(log_eps_bar)
+    # freeze the adapted (averaged) step size for sampling
+    x, logp, g, da = carry
+    eps_final = jnp.exp(da[2])
 
     def sample_transition(carry, k):
         x, logp, g = carry
-        k_mom, k_acc, k_jit = jax.random.split(k, 3)
-        p = metric.sample_momentum(k_mom)
-        ke0 = metric.kinetic_energy(p)
-        eps_j = eps_final * jax.random.uniform(
-            k_jit, dtype=x.dtype, minval=0.8, maxval=1.2
-        )
-        x_new, p_new, logp_new, g_new = leapfrog(
-            value_and_grad, metric, x, p, g, eps_j, num_leapfrog
-        )
-        ke1 = metric.kinetic_energy(p_new)
-        log_accept = (logp_new - ke1) - (logp - ke0)
-        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
-        accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
-        accept = jax.random.uniform(k_acc, dtype=x.dtype) < accept_prob
-        x = jnp.where(accept, x_new, x)
-        logp = jnp.where(accept, logp_new, logp)
-        g = jnp.where(accept, g_new, g)
+        x, logp, g, accept_prob = mh_step(x, logp, g, eps_final, k)
         return (x, logp, g), (x, accept_prob, logp)
 
     keys_s = jax.random.split(jax.random.fold_in(key, 1), num_samples)

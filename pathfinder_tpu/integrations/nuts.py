@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pathfinder_tpu.integrations.hmc import WoodburyMetric
+from pathfinder_tpu.integrations.hmc import (
+    WoodburyMetric,
+    da_init,
+    da_update,
+    leapfrog_step,
+)
 
 __all__ = ["nuts", "nuts_chains", "nuts_warm_start", "NUTSResult"]
 
@@ -46,11 +51,7 @@ class _Point(NamedTuple):
 
 
 def _leapfrog1(vg, metric, pt: _Point, eps):
-    p_half = pt.p + 0.5 * eps * pt.g
-    x_new = pt.x + eps * metric.grad_kinetic(p_half)
-    logp_new, g_new = vg(x_new)
-    p_new = p_half + 0.5 * eps * g_new
-    return _Point(x_new, p_new, g_new, logp_new)
+    return _Point(*leapfrog_step(vg, metric, pt.x, pt.p, pt.g, eps))
 
 
 def _energy(metric, pt: _Point):
@@ -380,30 +381,10 @@ def nuts(
         metric = WoodburyMetric.diag(jnp.ones((d,), dtype))
     logp0, g0 = value_and_grad(x0)
 
-    # dual-averaging state: (mu, log_eps, log_eps_bar, h_acc, t); mu is
-    # carried so windowed adaptation can restart the averaging mid-warmup
-    da0 = (
-        jnp.asarray(jnp.log(10.0 * init_step_size), dtype),
-        jnp.asarray(jnp.log(init_step_size), dtype),
-        # log_eps_bar seeded with init_step_size so num_warmup=0 samples
-        # at the requested step size (overwritten entirely by the first
-        # DA update, whose weight is w = 1^{-κ} = 1)
-        jnp.asarray(jnp.log(init_step_size), dtype),
-        jnp.zeros((), dtype),
-        jnp.zeros((), dtype),
-    )
-
-    def da_update(da, astat):
-        mu, log_eps, log_eps_bar, h_acc, t_prev = da
-        t = t_prev + 1.0
-        kappa, gamma, t0c = 0.75, 0.05, 10.0
-        h_acc = (1.0 - 1.0 / (t + t0c)) * h_acc + (target_accept - astat) / (
-            t + t0c
-        )
-        log_eps = mu - jnp.sqrt(t) / gamma * h_acc
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (mu, log_eps, log_eps_bar, h_acc, t)
+    # dual-averaging state (mu, log_eps, log_eps_bar, h_acc, t) shared
+    # with hmc.py; mu is carried so windowed adaptation can restart the
+    # averaging mid-warmup
+    da0 = da_init(init_step_size, dtype)
 
     if adapt_mass_matrix:
         if metric.minv.A.ndim != 1:
@@ -431,7 +412,7 @@ def nuts(
             x_n, logp_n, g_n, astat, tree = _nuts_transition(
                 k, value_and_grad, met, _Point(x, p, g, logp), eps, max_depth
             )
-            da_n = da_update(da, astat)
+            da_n = da_update(da, astat, target_accept)
 
             # Welford accumulation over the slow-window draws
             cnt, mean, m2 = wf
@@ -494,7 +475,7 @@ def nuts(
                 k, value_and_grad, metric, _Point(x, p, g, logp), eps, max_depth
             )
             return (
-                (x_n, logp_n, g_n, da_update(da, astat)),
+                (x_n, logp_n, g_n, da_update(da, astat, target_accept)),
                 (x_n, astat, logp_n, tree.depth, tree.diverging),
             )
 
