@@ -80,9 +80,13 @@ def device_breakdown():
             "wedged or contended; subsequent numbers are post-recovery"
         )
     ts = []
-    for _ in range(5):
+    for i in range(5):
+        # a FRESH array per iteration: jax caches the host copy of a
+        # fetched Array, so re-fetching the same object measures a
+        # microsecond in-memory read, not the tunnel round trip
+        y = x + float(i)
         t0 = time.perf_counter()
-        np.asarray(x)
+        np.asarray(y)
         ts.append(time.perf_counter() - t0)
     b["rtt_s"] = round(float(np.median(ts)), 4)
     return b
@@ -237,14 +241,11 @@ def oracle_khats(d, comp_means, ndraws_per_comp, ndraws_out, seed=0):
         - 0.5 * d * np.log(2 * np.pi)
         - np.sum(np.log(np.diag(L)))
     )
-    from pathfinder_tpu.ops.psis import psis as _psis
-    from pathfinder_tpu.ops.resample import resample_draws as _rs
-
     logp = np.asarray(
         logp_batch(jnp.asarray(draws, jnp.float32))
     )
-    psis_res = _psis(jnp.asarray(logp - logq, jnp.float32))
-    res_draws, _ = _rs(
+    psis_res = psis(jnp.asarray(logp - logq, jnp.float32))
+    res_draws, _ = resample_draws(
         jax.random.key(778),
         jnp.asarray(draws[None], jnp.float32),
         psis_res,
@@ -586,7 +587,8 @@ def main():
                 "compile_total_s", "khat", "khat_per_repeat",
                 "khat_oracle_mixture",
                 "khat_oracle_moment", "n_success", "n_paths",
-                "logp_grad_evals", "frac_paths_capped", "ls_exhaustions",
+                "logp_grad_evals", "elbo_evals_per_sec", "finite_draws",
+                "frac_paths_capped", "ls_exhaustions",
                 "moment_err_mean_sd_units", "moment_err_sd_rel",
                 "moment_err_mean_oracle_mixture",
                 "moment_err_mean_oracle_moment",

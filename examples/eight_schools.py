@@ -59,13 +59,18 @@ theta = (
 print("  per-school posterior means:", np.round(theta.mean(axis=0), 1))
 print("  raw observations:         ", np.asarray(y))
 
-# --- NUTS warm-started from the fit (4 chains from 4 distinct draws) ------
-best_path = res.path_result(0)  # per-path view; its fit is the metric
+# --- NUTS warm-started from the fit (4 chains, distinct start draws) ------
+# replace=False draws unique warm-start points from the stored PSIS
+# weights (the documented initialization workflow); the metric comes from
+# the component that produced the first resampled draw
+from pathfinder_tpu.multipath import resample
+
+init = resample(res, 4, replace=False, key=jax.random.key(7))
 out, summary = nuts_chains(
     jax.random.key(1),
     jax.value_and_grad(res.logp),  # the linked unconstrained density
-    WoodburyMetric.from_result(best_path),
-    res.draws[:, :4].T,
+    WoodburyMetric.from_result(init),
+    init.draws.T,
     num_samples=1000,
     num_warmup=500,
     adapt_mass_matrix=True,  # refine the metric during warmup
