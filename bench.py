@@ -553,7 +553,61 @@ def run_all_configs():
     return results
 
 
+def run_nuts_bench(d=50, num_samples=2000, num_warmup=300):
+    """In-repo NUTS throughput, warm-started from a Pathfinder fit on a
+    correlated Gaussian (the integration layer's hot path; tracks the
+    traced-bounds U-turn-check optimization). Prints one JSON line."""
+    from pathfinder_tpu.models.zoo import CorrelatedGaussian
+    from pathfinder_tpu.integrations.nuts import nuts_warm_start
+    from pathfinder_tpu.singlepath import pathfinder
+
+    target = CorrelatedGaussian(d, seed=0)
+    res = pathfinder(
+        target, key=jax.random.key(0), ndraws=10, maxiters=80,
+        history_length=12,
+    )
+
+    def run():
+        out = nuts_warm_start(
+            jax.random.key(1), res, num_samples=num_samples,
+            num_warmup=num_warmup,
+        )
+        np.asarray(out.samples[-1, 0])  # force a host fetch (tunnel)
+        return out
+
+    out = run()  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    elapsed = min(ts)
+    transitions = num_samples + num_warmup
+    print(
+        json.dumps(
+            {
+                "metric": f"nuts_transitions_per_sec_d{d}",
+                "value": round(transitions / elapsed, 1),
+                "unit": "transitions/sec",
+                "extra": {
+                    "elapsed_s": round(elapsed, 4),
+                    "num_samples": num_samples,
+                    "num_warmup": num_warmup,
+                    "step_size": round(float(out.step_size), 4),
+                    "mean_tree_depth": round(
+                        float(np.mean(np.asarray(out.tree_depths))), 2
+                    ),
+                    "divergences": int(np.sum(np.asarray(out.diverging))),
+                },
+            }
+        )
+    )
+
+
 def main():
+    if "--nuts" in sys.argv:
+        run_nuts_bench()
+        return
     if "--profile" in sys.argv:
         # tracing/profiling hook (SURVEY §5: new, not ported — the reference
         # has no profiler integration)

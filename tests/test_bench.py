@@ -53,3 +53,17 @@ def test_hierarchical_truth_matches_zoo(bench_module):
     np.testing.assert_array_equal(s1, s2)
     assert m1.shape == (40,)
     assert np.all(s1 > 0)
+
+
+def test_run_nuts_bench_smoke(bench_module, capsys):
+    """--nuts mode: one JSON line with the throughput metric + sampler
+    health columns."""
+    import json
+
+    bench_module.run_nuts_bench(d=8, num_samples=50, num_warmup=30)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "nuts_transitions_per_sec_d8"
+    assert d["value"] > 0
+    for k in ("elapsed_s", "step_size", "mean_tree_depth", "divergences"):
+        assert k in d["extra"]
