@@ -512,6 +512,7 @@ def nuts_chains(
     value_and_grad: Callable,
     metric: Optional[WoodburyMetric],
     x0s: jax.Array,
+    mesh=None,
     **kwargs,
 ):
     """Run one NUTS chain per row of ``x0s`` ((C, d), vmapped — all chains
@@ -520,14 +521,43 @@ def nuts_chains(
     :func:`~pathfinder_tpu.utils.diagnostics.summarize` dict
     (mean/sd/ess_bulk/ess_tail/rhat over the (C, N, d) sample stack) —
     the multi-chain workflow of the reference's integration tests
-    (``test/integration/Turing/runtests.jl:111-176``) as one call."""
+    (``test/integration/Turing/runtests.jl:111-176``) as one call.
+
+    ``mesh``: an optional :class:`jax.sharding.Mesh` to shard the chains
+    axis over devices (one independent group of chains per chip — the
+    serving-scale layout; chains are independent, so XLA partitions the
+    whole sampler with no cross-device collectives). ``C`` must be
+    divisible by the mesh size. Per-chain keys are split from ``key``
+    before placement, so every random decision replays identically; the
+    floating-point trajectories themselves may differ from the unsharded
+    run at the last ulp (per-device batch width changes XLA's
+    vectorization/FMA grouping across the chain axis — measured ~5e-15
+    in f64), which is the same reassociation-level caveat as the
+    multipath cg dryrun check."""
     from pathfinder_tpu.utils.diagnostics import summarize
 
     C = x0s.shape[0]
     keys = jax.random.split(key, C)
-    out = jax.vmap(
-        lambda k, x0: nuts(k, value_and_grad, metric, x0, **kwargs)
-    )(keys, x0s)
+    # one outer jit in BOTH layouts: sharded and unsharded then run the
+    # same compiled-program structure, so mesh placement is the only
+    # difference and the bit-identity contract holds
+    fn = jax.jit(
+        jax.vmap(lambda k, x0: nuts(k, value_and_grad, metric, x0, **kwargs))
+    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.devices.size
+        if C % n_dev != 0:
+            raise ValueError(
+                f"{C} chains are not divisible over the {n_dev}-device "
+                "mesh; pad x0s or change the chain count."
+            )
+        axis = mesh.axis_names[0]
+        spec = NamedSharding(mesh, PartitionSpec(axis))
+        keys = jax.device_put(keys, spec)
+        x0s = jax.device_put(x0s, spec)
+    out = fn(keys, x0s)  # GSPMD partitions the sampler when sharded
     return out, summarize(out.samples)
 
 

@@ -291,3 +291,46 @@ def test_nuts_truth_anchored_conjugate():
     corr_hat = np.corrcoef(xs.T)
     corr_true = cov_true / np.outer(sd_true, sd_true)
     assert np.max(np.abs(corr_hat - corr_true)) < 0.1
+
+
+def test_nuts_chains_sharded_matches_unsharded():
+    """``nuts_chains(mesh=...)`` shards the chains axis over devices;
+    per-chain keys are split before placement, so the discrete sampler
+    decisions (tree depths, divergences) replay identically and the
+    trajectories agree to floating-point-reassociation level (per-device
+    batch width changes XLA's vectorization grouping — see docstring)."""
+    from pathfinder_tpu.integrations.nuts import nuts_chains
+    from pathfinder_tpu.parallel.sharding import paths_mesh
+
+    d = 4
+    target_vg = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x * x))
+    x0s = jnp.asarray(np.random.default_rng(0).standard_normal((8, d)))
+    kw = dict(num_samples=60, num_warmup=40, max_depth=5)
+
+    out_u, sum_u = nuts_chains(
+        jax.random.key(0), target_vg, identity_metric(d), x0s, **kw
+    )
+    mesh = paths_mesh()
+    out_s, sum_s = nuts_chains(
+        jax.random.key(0), target_vg, identity_metric(d), x0s, mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.samples), np.asarray(out_u.samples), atol=1e-9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_s.tree_depths), np.asarray(out_u.tree_depths)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_s.diverging), np.asarray(out_u.diverging)
+    )
+    # rank-normalized diagnostics are discrete in the samples: a last-ulp
+    # perturbation can flip a rank, so compare loosely
+    np.testing.assert_allclose(
+        np.asarray(sum_s["rhat"]), np.asarray(sum_u["rhat"]), atol=0.01
+    )
+    # indivisible chain counts are rejected, not silently replicated
+    with pytest.raises(ValueError, match="divisible"):
+        nuts_chains(
+            jax.random.key(0), target_vg, identity_metric(d), x0s[:5],
+            mesh=mesh, **kw
+        )
