@@ -292,14 +292,27 @@ class PathfinderResult:
             lambda leaf: leaf[1:], self.fit_distributions
         )
         L = self.config.maxiters
-        keys = jax.vmap(lambda i: jax.random.fold_in(key_elbo, i))(
-            jnp.arange(L)
+        # chunked like the core's ELBO loop: ONE wide vmap over all
+        # candidates with the user logp fused in miscompiles on TPU at
+        # d=1000 (non-finite draws; NOTES.md round-3 fusion pathology)
+        # and would materialize every per-candidate draw matrix at once
+        C = min(self.config.elbo_chunk, L)
+        pad = (-L) % C
+        idx = jnp.concatenate([jnp.arange(L), jnp.zeros((pad,), jnp.int32)])
+
+        def chunk(ix):
+            dst = jax.tree_util.tree_map(lambda l: l[ix], dists)
+            return jax.vmap(
+                lambda i, d_: elbo_and_samples(
+                    jax.random.fold_in(key_elbo, i), self.logp, d_,
+                    self.config.ndraws_elbo,
+                )
+            )(ix, dst)
+
+        est = jax.lax.map(chunk, idx.reshape(-1, C))
+        est = jax.tree_util.tree_map(
+            lambda l: l.reshape((-1,) + l.shape[2:])[:L], est
         )
-        est = jax.vmap(
-            lambda k, dst: elbo_and_samples(
-                k, self.logp, dst, self.config.ndraws_elbo
-            )
-        )(keys, dists)
         # candidates past the trajectory end replay against stale trace
         # padding and can yield finite nonsense — mask them to NaN so the
         # replayed values agree with the core's stored elbo_values
