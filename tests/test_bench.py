@@ -5,14 +5,18 @@ rests on (exact-moment Gaussians beat the fitted mixture through the
 identical PSIS+resample pipeline)."""
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+
 
 @pytest.fixture(scope="module")
 def bench_module():
-    sys.path.insert(0, ".")
+    if _REPO_ROOT not in sys.path:
+        sys.path.insert(0, _REPO_ROOT)
     import bench
 
     return bench

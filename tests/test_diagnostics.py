@@ -87,3 +87,22 @@ def test_ess_tail_in_summarize():
     s = summarize(x)
     assert s["ess_tail"].shape == (3,)
     assert np.all(np.asarray(s["ess_tail"]) > 100)
+
+
+def test_throttled_progress_contract():
+    """The multipath progress reporter honors its throttle contract
+    (<= 1 line per min_fraction of progress) and always emits the final
+    100% line (reference: src/multipath.jl:164-214 throttle)."""
+    import io
+
+    from pathfinder_tpu.utils.progress import ThrottledProgress
+
+    buf = io.StringIO()
+    p = ThrottledProgress(1000, min_seconds=0.0, min_fraction=0.1, stream=buf)
+    for i in range(0, 1001, 10):
+        p.update(i)
+    p.close()
+    out = buf.getvalue()
+    # throttled: ~10 updates (every 10%), not 100
+    assert out.count("/1000") <= 15
+    assert "1000/1000 (100.0%)" in out

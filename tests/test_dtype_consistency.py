@@ -62,33 +62,3 @@ def test_multipath_f32_khat_sane():
     assert res.draws.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(res.draws)))
     assert float(res.psis_result.pareto_shape) < 0.7
-
-
-def test_scale_guard():
-    """Non-positive scalar multiply densifies (reference parity,
-    ``src/woodbury.jl:357-360``) rather than staying in (now-indefinite)
-    Woodbury form."""
-    from pathfinder_tpu.ops.woodbury import WoodburyPDMat
-
-    W = WoodburyPDMat.from_parts(
-        jnp.ones(3), jnp.zeros((3, 0)), jnp.zeros((0, 0))
-    )
-    out = W.scale(-1.0)
-    assert not isinstance(out, WoodburyPDMat)
-    np.testing.assert_allclose(np.asarray(out), -np.eye(3))
-
-
-def test_throttled_progress_contract():
-    import io
-
-    from pathfinder_tpu.utils.progress import ThrottledProgress
-
-    buf = io.StringIO()
-    p = ThrottledProgress(1000, min_seconds=0.0, min_fraction=0.1, stream=buf)
-    for i in range(0, 1001, 10):
-        p.update(i)
-    p.close()
-    out = buf.getvalue()
-    # throttled: ~10 updates (every 10%), not 100
-    assert out.count("/1000") <= 15
-    assert "1000/1000 (100.0%)" in out

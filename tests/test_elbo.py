@@ -84,6 +84,7 @@ def test_maximize_elbo_respects_mask():
         jax.random.key(3), logp, dists, 10, jnp.zeros(4, bool)
     )
     assert np.isnan(float(best2))
+    assert int(idx2) == 0  # all-masked index contract (findmax_skipnan)
 
 
 class TestFindmaxSkipnan:

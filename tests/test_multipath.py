@@ -89,21 +89,32 @@ def test_reproducibility_and_key_sensitivity():
 
 
 def test_determinism_across_mesh_shapes():
-    """Draws are bit-identical with and without device sharding — the
-    shard_map analog of the reference's ntasks-independence tests
-    (``test/multipath.jl:107-140``)."""
+    """Mesh-shape independence — the shard_map analog of the reference's
+    ntasks-independence tests (``test/multipath.jl:107-140``). The
+    contract has two tiers: every DISCRETE output (component ids) is
+    exactly equal, and the float draws agree to floating-point
+    reassociation tolerance (per-device batch width can change XLA's
+    reduction grouping in the sample stage — measured <= 3e-14; the
+    trajectories themselves are bitwise equal, asserted by the cg
+    variant below on the traces)."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     mesh2 = paths_mesh(jax.devices()[:2])
     mesh4 = paths_mesh(jax.devices()[:4])
     r_none, _ = run_multi(key=5, nruns=8)
     r_m2, _ = run_multi(key=5, nruns=8, mesh=mesh2)
     r_m4, _ = run_multi(key=5, nruns=8, mesh=mesh4)
-    np.testing.assert_allclose(
-        np.asarray(r_none.draws), np.asarray(r_m2.draws), rtol=0, atol=1e-12
-    )
-    np.testing.assert_allclose(
-        np.asarray(r_none.draws), np.asarray(r_m4.draws), rtol=0, atol=1e-12
-    )
+    for r in (r_m2, r_m4):
+        np.testing.assert_array_equal(
+            np.asarray(r_none.draw_component_ids),
+            np.asarray(r.draw_component_ids),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_none.states.fit_iteration),
+            np.asarray(r.states.fit_iteration),
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_none.draws), np.asarray(r.draws), rtol=0, atol=1e-12
+        )
 
 
 def test_determinism_across_mesh_shapes_cg_optimizer():
@@ -169,9 +180,11 @@ def test_multipath_retry_rounds():
 
 
 def test_retry_rounds_ride_the_mesh_deterministically():
-    """Retry rounds reuse the sharded executor; draws from a sharded run
-    with forced failures are bit-identical to the unsharded run (extends
-    the mesh-determinism contract to the retry path)."""
+    """Retry rounds reuse the sharded executor; a sharded run with forced
+    failures matches the unsharded run (same two-tier contract as
+    test_determinism_across_mesh_shapes: discrete outputs exact, draws to
+    reassociation tolerance), extending mesh determinism to the retry
+    path."""
 
     def logp(x):
         clean = -0.5 * jnp.sum(x * x)
@@ -187,6 +200,10 @@ def test_retry_rounds_ride_the_mesh_deterministically():
     assert np.asarray(r_none.num_tries).max() > 1  # retries actually fired
     np.testing.assert_array_equal(
         np.asarray(r_none.num_tries), np.asarray(r_mesh.num_tries)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_none.draw_component_ids),
+        np.asarray(r_mesh.draw_component_ids),
     )
     np.testing.assert_allclose(
         np.asarray(r_none.draws), np.asarray(r_mesh.draws), rtol=0, atol=1e-12

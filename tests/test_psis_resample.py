@@ -154,9 +154,8 @@ def test_resample_degenerate_weights_selects_one_component():
     assert out.shape == (d, 25)
     assert np.all(np.asarray(ids) == 2)
     # every drawn column is actually a component-2 draw
-    flat = draws[2].T
     for col in np.asarray(out).T:
-        assert np.any(np.all(np.isclose(flat.T, col), axis=1))
+        assert np.any(np.all(np.isclose(draws[2], col), axis=1))
 
 
 def test_resample_uniform_statistics():
