@@ -32,6 +32,7 @@ from pathfinder_tpu.ops.lbfgs import (
     should_abort_nonfinite,
 )
 from pathfinder_tpu.ops.linesearch import (
+    resolve_c1,
     backtracking_line_search,
     hager_zhang_line_search,
     initial_step_size,
@@ -67,7 +68,7 @@ def minimize_cg_trace(
     ftol: float = 10.0,
     epsilon_curvature: float = 1e-12,  # unused; uniform driver signature
     max_ls_evals: int = 12,
-    c1: float = 1e-4,
+    c1: Optional[float] = None,
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
     progress_every: int = 0,
@@ -96,6 +97,7 @@ def minimize_cg_trace(
         ls_fn = backtracking_line_search
     else:
         raise ValueError(f"unknown line_search {line_search!r}")
+    c1 = resolve_c1(c1, line_search)
 
     def neg_vg(x):
         lp, glp = value_and_grad(x)

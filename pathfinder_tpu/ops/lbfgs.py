@@ -24,13 +24,14 @@ optimizer internally minimizes ``f = -logp``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from pathfinder_tpu.ops.linesearch import (
+    resolve_c1,
     backtracking_line_search,
     hager_zhang_line_search,
     initial_step_size,
@@ -117,6 +118,23 @@ class _LoopState(NamedTuple):
     gs: jax.Array
 
 
+def _compact_pieces(S_masked, Y_masked, alpha, mask):
+    """Masked compact-representation pieces shared by the two-loop
+    direction and the inverse-Hessian reconstruction: ``R = triu(S Yᵀ)``
+    over active rows (identity on inactive so it stays invertible),
+    ``E = diag(R)`` on active rows, and ``YaY = Y diag(α) Yᵀ``. Keeping
+    ONE copy guarantees the optimizer's search direction and the
+    reconstructed fits use identical masking semantics."""
+    J = S_masked.shape[0]
+    dtype = alpha.dtype
+    eyeJ = jnp.eye(J, dtype=dtype)
+    mm = mask[:, None] * mask[None, :]
+    R = jnp.triu(S_masked @ Y_masked.T) * mm + eyeJ * (1.0 - mask)
+    E = jnp.diagonal(R) * mask
+    YaY = Y_masked @ (alpha[None, :] * Y_masked).T
+    return R, E, YaY, eyeJ
+
+
 def _two_loop_direction(g, alpha, S, Y, pos, hlen):
     """``−H·g`` over the masked circular history via the compact
     representation (Byrd et al. 1994, Thm 2.2) — mathematically identical to
@@ -142,11 +160,7 @@ def _two_loop_direction(g, alpha, S, Y, pos, hlen):
     S_ord = S[order] * mask[:, None]
     Y_ord = Y[order] * mask[:, None]
 
-    eyeJ = jnp.eye(J, dtype=dtype)
-    mm = mask[:, None] * mask[None, :]
-    R = jnp.triu(S_ord @ Y_ord.T) * mm + eyeJ * (1.0 - mask)
-    E = jnp.diagonal(R) * mask
-    YaY = Y_ord @ (alpha[None, :] * Y_ord).T
+    R, E, YaY, _ = _compact_pieces(S_ord, Y_ord, alpha, mask)
 
     u1 = Y_ord @ (alpha * g)  # B₁ᵀ g
     u2 = S_ord @ g  # B₂ᵀ g
@@ -168,7 +182,7 @@ def minimize_lbfgs_trace(
     ftol: float = 10.0,
     epsilon_curvature: float = 1e-12,
     max_ls_evals: int = 12,
-    c1: float = 1e-4,
+    c1: Optional[float] = None,
     c2: float = 0.9,
     fail_on_nonfinite: bool = True,
     progress_every: int = 0,
@@ -205,7 +219,13 @@ def minimize_lbfgs_trace(
     J = history_length
     # unreachable gradient tolerances in low precision waste a full failed
     # line search at the trajectory end — clamp to the dtype's resolution
-    gtol = max(gtol, float(25 * jnp.finfo(dtype).eps))
+    # AT THE PROBLEM'S GRADIENT SCALE: a pure-absolute 25·eps floor would
+    # declare small-scaled targets (max|∇logp| legitimately < 3e-6 in f32)
+    # converged after one step, even though eps is relative precision, not
+    # an absolute gradient resolution. min(1, |g0|∞) only ever *lowers*
+    # the floor for such targets; O(1)+ problems keep the measured floor.
+    gtol_user = float(gtol)
+    gtol_floor = float(25 * jnp.finfo(dtype).eps)
     # relative objective-progress stop: terminate when a step improves f by
     # less than ftol ulps (ftol * eps * |f|). In f32 the gradient-norm test
     # alone is often unreachable at d >> 1 while the Hager-Zhang approximate
@@ -223,6 +243,7 @@ def minimize_lbfgs_trace(
         ls_fn = backtracking_line_search
     else:
         raise ValueError(f"unknown line_search {line_search!r}")
+    c1 = resolve_c1(c1, line_search)
 
     def neg_vg(x):
         lp, glp = value_and_grad(x)
@@ -230,6 +251,14 @@ def minimize_lbfgs_trace(
         return (-lp).astype(dtype), (-glp).astype(dtype)
 
     f0, g0 = neg_vg(x0)
+    # gradient-scale-aware gtol clamp (see comment above); non-finite or
+    # zero g0 falls back to the plain floor
+    g0_scale = jnp.max(jnp.abs(g0))
+    g0_scale = jnp.where(jnp.isfinite(g0_scale) & (g0_scale > 0), g0_scale, 1.0)
+    gtol = jnp.maximum(
+        jnp.asarray(gtol_user, dtype),
+        gtol_floor * jnp.minimum(1.0, g0_scale),
+    )
     # abort rule in the minimizer view: f = -logp, so logp==+Inf ⇔ f==-Inf
     init_abort = should_abort_nonfinite(-f0, -g0, fail_on_nonfinite)
     # a NaN/Inf-gradient start can't make progress either way; with
@@ -396,16 +425,11 @@ def lbfgs_inverse_hessian(alpha, S, Y, row_mask) -> WoodburyPDMat:
 
     B = jnp.concatenate([(alpha[None, :] * Y).T, S.T], axis=1)  # (d, 2J)
 
-    SY = S @ Y.T  # (J, J): [i, j] = sᵢ·yⱼ
-    mm = mask[:, None] * mask[None, :]
-    eyeJ = jnp.eye(J, dtype=dtype)
-    R = jnp.triu(SY) * mm + eyeJ * (1.0 - mask)
-    E = jnp.diagonal(R) * mask  # true diag sⱼ·yⱼ on active rows
+    R, E, YaY, eyeJ = _compact_pieces(S, Y, alpha, mask)
 
     from jax.scipy.linalg import solve_triangular
 
     nRinv = solve_triangular(R, -eyeJ, lower=False)  # −R⁻¹
-    YaY = Y @ (alpha[None, :] * Y).T  # Y diag(α) Yᵀ
     inner = jnp.diag(E) + YaY
     D22 = nRinv.T @ inner @ nRinv  # R⁻ᵀ(E + YαYᵀ)R⁻¹
     Dtop = jnp.concatenate([jnp.zeros((J, J), dtype), nRinv], axis=1)

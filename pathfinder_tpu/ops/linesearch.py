@@ -75,6 +75,18 @@ class _State(NamedTuple):
     accepted: jax.Array
 
 
+
+def resolve_c1(c1, line_search: str) -> float:
+    """Per-search sufficient-decrease default: ``None`` maps to the
+    canonical constant of each algorithm — Hager-Zhang's δ = 0.1 (the
+    reference's ``LineSearches.HagerZhang()`` default; δ also sets the
+    approximate-Wolfe band ``φ' ≤ (2δ−1)φ'(0)``, which 1e-4 would widen to
+    accept near-full-slope overshoots) and the Armijo constant 1e-4 for
+    the strong-Wolfe / Moré-Thuente / backtracking family."""
+    if c1 is not None:
+        return float(c1)
+    return 0.1 if line_search == "hager_zhang" else 1e-4
+
 def _cubic_min(a, fa, dfa, b, fb, dfb):
     """Minimizer of the cubic interpolant on [a, b] (N&W eq. 3.59)."""
     d1 = dfa + dfb - 3.0 * (fa - fb) / (a - b)

@@ -206,11 +206,22 @@ def pdfactorize(
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(m, dtype=dtype)
     G = X.T @ X
+    # the regularization scale must come from the DATA Gram, measured
+    # before any masked-column identity injection: an absolute floor (or
+    # the injected unit diagonal) makes the ridge/rank tolerance dwarf a
+    # small-but-well-conditioned Gram — near convergence the L-BFGS steps
+    # shrink, diag(G) ~ |s|²/α can sit far below 1 while D ~ 1/(sᵀy)
+    # grows inversely, and an absolute ridge then drives I + KᵀDK
+    # indefinite (NaN factorization for a perfectly fine W). With the
+    # data-relative scale the ridge stays O(eps) *of the data*.
+    scale = jnp.max(jnp.diagonal(G)) if m else jnp.ones((), dtype)
+    scale = jnp.where(scale > 0, scale, 1.0)
     if col_mask is not None:
-        G = G + eye * (1.0 - col_mask)
+        # masked columns get an identity block AT THE DATA SCALE so they
+        # neither pollute the scale estimate nor skew chol conditioning
+        G = G + eye * (1.0 - col_mask) * scale
 
     if method == "chol":
-        scale = jnp.maximum(jnp.max(jnp.diagonal(G)), 1.0)
         ridge = (32 * m * eps) * scale
         K = jnp.linalg.cholesky(G + ridge * eye)  # lower, G̃ = K Kᵀ, R = Kᵀ
         M = eye + K.T @ D @ K  # I + R D Rᵀ
@@ -225,7 +236,7 @@ def pdfactorize(
         Ci = core(V_inv - eye)
     elif method == "eigh":
         lam, E = jnp.linalg.eigh(G)  # ascending eigenvalues
-        tol = jnp.maximum(lam[-1], 0.0) * (32 * m * eps)
+        tol = scale * (32 * m * eps)
         active = (lam > tol).astype(dtype)
         lam_t = jnp.where(active > 0, lam, 1.0)
         s = jnp.sqrt(lam_t)  # Λ̃^{1/2}
@@ -328,10 +339,13 @@ class WoodburyPDMat:
     def det(self) -> jax.Array:
         return jnp.exp(self.factor.log_det)
 
-    def inv(self) -> "WoodburyPDMat":
+    def inv(self, method: str = "chol") -> "WoodburyPDMat":
         """``W⁻¹``, still in Woodbury form (parity: ``inv``, ``src/woodbury.jl:317-321``).
 
         ``W⁻¹ = A⁻¹ + (A⁻¹B) D' (A⁻¹B)ᵀ`` with ``D' = Ci + Ciᵀ + Ciᵀ G Ci``.
+        ``method`` selects the refactorization path of the result (a matrix
+        built with ``method="eigh"`` for robustness should pass it here
+        too — derived objects do not remember how they were factorized).
         """
         F = self.factor
         G = F.X.T @ F.X
@@ -344,7 +358,7 @@ class WoodburyPDMat:
             ah_inv = solve_triangular(F.a_half, eye, lower=True)
             A_inv = ah_inv.T @ ah_inv
             B_inv = ah_inv.T @ F.X
-        return WoodburyPDMat.from_parts(A_inv, B_inv, D_inv)
+        return WoodburyPDMat.from_parts(A_inv, B_inv, D_inv, method=method)
 
     def quad(self, x) -> jax.Array:
         """``xᵀ W x`` columnwise (parity: ``PDMats.quad``, ``src/woodbury.jl:388-397``)."""
@@ -372,12 +386,13 @@ class WoodburyPDMat:
         """``R⁻¹ x = L⁻ᵀ x`` (parity: ``PDMats.invunwhiten!``, ``src/woodbury.jl:417-422``)."""
         return self.factor.Lt_solve(x)
 
-    def astype(self, dtype) -> "WoodburyPDMat":
+    def astype(self, dtype, method: str = "chol") -> "WoodburyPDMat":
         """Convert element type, refactorizing in the target precision
         (parity: ``convert(WoodburyPDMat{T}, ...)``, ``src/woodbury.jl:
-        273-283``)."""
+        273-283``). ``method``: refactorization path of the result."""
         return WoodburyPDMat.from_parts(
-            self.A.astype(dtype), self.B.astype(dtype), self.D.astype(dtype)
+            self.A.astype(dtype), self.B.astype(dtype), self.D.astype(dtype),
+            method=method,
         )
 
     def entry(self, i, j) -> jax.Array:
@@ -389,16 +404,17 @@ class WoodburyPDMat:
             a = self.A[i, j]
         return a + self.B[i] @ (self.D @ self.B[j])
 
-    def add_scaled_identity(self, c) -> "WoodburyPDMat":
+    def add_scaled_identity(self, c, method: str = "chol") -> "WoodburyPDMat":
         """``W + c·I`` keeping Woodbury form (parity: ``+(::WoodburyPDMat,
         ::UniformScaling)``, ``src/woodbury.jl:333-338`` — the reference
         routes through ``PDMats.ScalMat``; here ``A + c·I`` stays diagonal /
-        dense directly). ``c`` must keep ``A + c·I`` positive definite."""
+        dense directly). ``c`` must keep ``A + c·I`` positive definite.
+        ``method``: refactorization path of the result."""
         if self.A.ndim == 1:
             A = self.A + c
         else:
             A = self.A + c * jnp.eye(self.dim, dtype=self.dtype)
-        return WoodburyPDMat.from_parts(A, self.B, self.D)
+        return WoodburyPDMat.from_parts(A, self.B, self.D, method=method)
 
     def __add__(self, other):
         if isinstance(other, WoodburyPDMat):
@@ -418,7 +434,7 @@ class WoodburyPDMat:
 
     __radd__ = __add__
 
-    def scale(self, c):
+    def scale(self, c, method: str = "chol"):
         """``W * c``: positive scalar ``c`` keeps Woodbury form; a concrete
         non-positive ``c`` returns the dense array ``c * to_dense()`` —
         full parity with the reference (``*``, ``src/woodbury.jl:357-360``),
@@ -428,7 +444,9 @@ class WoodburyPDMat:
         (detectable via ``is_finite_pd``)."""
         if isinstance(c, (int, float)) and c <= 0:
             return c * self.to_dense()
-        return WoodburyPDMat.from_parts(self.A * c, self.B, self.D * c)
+        return WoodburyPDMat.from_parts(
+            self.A * c, self.B, self.D * c, method=method
+        )
 
     def __mul__(self, c):
         return self.scale(c)

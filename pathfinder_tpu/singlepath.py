@@ -69,7 +69,10 @@ class PathfinderConfig(NamedTuple):
     ftol: float = 10.0
     epsilon_curvature: float = 1e-12
     max_ls_evals: int = 12
-    c1: float = 1e-4
+    # sufficient-decrease constant; None = the line search's canonical
+    # default (Hager-Zhang δ=0.1 per the reference's LineSearches default,
+    # 1e-4 Armijo for the others) — see ops.linesearch.resolve_c1
+    c1: Optional[float] = None
     c2: float = 0.9
     fail_on_nonfinite: bool = True
     elbo_chunk: int = 16  # candidates per ELBO chunk (memory bound; chunks

@@ -474,3 +474,65 @@ def test_progress_every_emits_iteration_lines(capsys):
     nv = int(trace.num_valid)
     assert len(lines) >= nv - 1, (len(lines), nv, out)
     assert f"/20" in lines[0]
+
+
+def test_small_step_windows_stay_finite_pd():
+    """Near-convergence windows (steps ~1e-3, f32) must factorize: the
+    compact form's D scales like 1/(sᵀy) inversely to the Gram, so an
+    absolute ridge floor (the pre-fix behavior) drove I + KᵀDK indefinite
+    and every trajectory-end fit — usually the ELBO winner — NaN'd out.
+    The ridge is now relative to the data Gram."""
+    from pathfinder_tpu.ops.lbfgs import OptimizationTrace, lbfgs_inverse_hessians
+
+    d, L = 20, 10
+    rng = np.random.default_rng(0)
+    H = np.diag(rng.uniform(0.5, 2.0, d))
+    xstar = rng.standard_normal(d)
+    xs = np.asarray(
+        [xstar + (1e-3 * 0.8**k) * rng.standard_normal(d) for k in range(L)],
+        np.float32,
+    )
+    grads = np.asarray([-(H @ (x - xstar)) for x in xs], np.float32)
+    trace = OptimizationTrace(
+        xs=jnp.asarray(xs),
+        log_densities=jnp.asarray(
+            [-0.5 * (x - xstar) @ H @ (x - xstar) for x in xs], jnp.float32
+        ),
+        gradients=jnp.asarray(grads),
+        num_valid=jnp.asarray(L),
+        num_bfgs_updates_rejected=jnp.asarray(0),
+        num_fn_evals=jnp.asarray(L),
+    )
+    fits, mask, _ = lbfgs_inverse_hessians(trace, history_length=6)
+    finite = np.asarray(jax.vmap(lambda c: c.is_finite_pd())(fits))
+    valid = np.asarray(mask)
+    assert finite[valid].all(), finite[valid]
+    # the reconstructed W stays a faithful PD matrix (f64 check)
+    last = int(np.nonzero(valid)[0][-1])
+    W = np.asarray(
+        jax.tree_util.tree_map(lambda l: l[last], fits).to_dense(), np.float64
+    )
+    assert np.allclose(W, W.T, atol=1e-5)
+    assert np.linalg.eigvalsh(W).min() > 0
+
+
+def test_small_scale_gradients_still_optimize():
+    """A legitimately small-scaled target (max|∇logp| ~ 1e-7) must
+    optimize, not spuriously 'converge' after one step: the gtol floor is
+    the dtype resolution AT THE GRADIENT SCALE (eps is relative
+    precision), so the old absolute 25·eps floor no longer applies."""
+    from pathfinder_tpu.ops.lbfgs import minimize_lbfgs_trace
+
+    scale = 1e-7
+
+    def vg(x):
+        return scale * (-0.5 * jnp.sum(x * x)), scale * (-x)
+
+    x0 = jnp.full((5,), 2.0, jnp.float32)
+    trace = minimize_lbfgs_trace(
+        vg, x0, maxiters=50, history_length=5, gtol=1e-10
+    )
+    assert int(trace.num_valid) > 2  # actually iterated
+    last = int(trace.num_valid) - 1
+    x_end = np.asarray(trace.xs[last])
+    assert np.abs(x_end).max() < 1e-2  # reached the optimum region

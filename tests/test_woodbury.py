@@ -352,3 +352,24 @@ def test_non_pd_yields_nan_flag():
     Agood = jnp.array([3.0, 3.0, 3.0])
     Wg = WoodburyPDMat.from_parts(Agood, B, D)
     assert bool(Wg.is_finite_pd())
+
+
+def test_derived_constructors_accept_method():
+    """Derived objects refactorize; a caller that chose method="eigh" for
+    robustness can keep it through inv/astype/scale/add_scaled_identity
+    (derived objects do not remember their construction method)."""
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.uniform(0.5, 2.0, 5))
+    B = jnp.asarray(rng.standard_normal((5, 2)))
+    D = jnp.asarray(np.eye(2) * 0.5)
+    W = WoodburyPDMat.from_parts(A, B, D, method="eigh")
+    dense = np.diag(np.asarray(A)) + np.asarray(B) @ np.asarray(D) @ np.asarray(B).T
+    for derived, expected in (
+        (W.inv(method="eigh"), np.linalg.inv(dense)),
+        (W.astype(jnp.float64, method="eigh"), dense),
+        (W.scale(2.0, method="eigh"), 2.0 * dense),
+        (W.add_scaled_identity(0.3, method="eigh"), dense + 0.3 * np.eye(5)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(derived.to_dense()), expected, rtol=1e-5, atol=1e-8
+        )
