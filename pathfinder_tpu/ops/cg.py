@@ -21,7 +21,7 @@ semantics with the L-BFGS driver.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,7 @@ from jax import lax
 
 from pathfinder_tpu.ops.lbfgs import (
     OptimizationTrace,
+    scale_aware_gtol,
     should_abort_nonfinite,
 )
 from pathfinder_tpu.ops.linesearch import (
@@ -85,7 +86,7 @@ def minimize_cg_trace(
     """
     d = x0.shape[0]
     dtype = x0.dtype
-    gtol = max(gtol, float(25 * jnp.finfo(dtype).eps))
+    gtol_user = float(gtol)
     ftol_rel = float(ftol) * float(jnp.finfo(dtype).eps) if ftol > 0 else 0.0
     if line_search == "hager_zhang":
         ls_fn = hager_zhang_line_search
@@ -104,6 +105,7 @@ def minimize_cg_trace(
         return (-lp).astype(dtype), (-glp).astype(dtype)
 
     f0, g0 = neg_vg(x0)
+    gtol = scale_aware_gtol(gtol_user, g0, dtype)
     init_abort = should_abort_nonfinite(-f0, -g0, fail_on_nonfinite)
 
     xs = jnp.zeros((maxiters + 1, d), dtype).at[0].set(x0)

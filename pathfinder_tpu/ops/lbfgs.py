@@ -173,6 +173,27 @@ def _two_loop_direction(g, alpha, S, Y, pos, hlen):
     return -Hg
 
 
+def scale_aware_gtol(gtol_user, g0, dtype):
+    """Effective gradient tolerance: the user's ``gtol`` floored at the
+    dtype's resolution AT THE PROBLEM'S GRADIENT SCALE. A pure-absolute
+    25·eps floor would declare small-scaled targets (max|∇logp| < 3e-6 in
+    f32) converged after one step — eps is relative precision, not an
+    absolute gradient resolution — so ``min(1, |g0|∞)`` lowers the floor
+    for such targets while O(1)+ problems keep the measured floor. The
+    floor is deliberately NOT raised for large-scale problems (that would
+    override an explicit user gtol); there the ``ftol`` relative-progress
+    stall already terminates noise-floor trajectories. Shared by the
+    L-BFGS and CG drivers so their stopping semantics stay identical."""
+    floor = 25 * jnp.finfo(dtype).eps
+    g0_scale = jnp.max(jnp.abs(g0))
+    g0_scale = jnp.where(
+        jnp.isfinite(g0_scale) & (g0_scale > 0), g0_scale, 1.0
+    )
+    return jnp.maximum(
+        jnp.asarray(gtol_user, dtype), floor * jnp.minimum(1.0, g0_scale)
+    )
+
+
 def minimize_lbfgs_trace(
     value_and_grad: Callable,
     x0: jax.Array,
@@ -217,15 +238,7 @@ def minimize_lbfgs_trace(
     d = x0.shape[0]
     dtype = x0.dtype
     J = history_length
-    # unreachable gradient tolerances in low precision waste a full failed
-    # line search at the trajectory end — clamp to the dtype's resolution
-    # AT THE PROBLEM'S GRADIENT SCALE: a pure-absolute 25·eps floor would
-    # declare small-scaled targets (max|∇logp| legitimately < 3e-6 in f32)
-    # converged after one step, even though eps is relative precision, not
-    # an absolute gradient resolution. min(1, |g0|∞) only ever *lowers*
-    # the floor for such targets; O(1)+ problems keep the measured floor.
     gtol_user = float(gtol)
-    gtol_floor = float(25 * jnp.finfo(dtype).eps)
     # relative objective-progress stop: terminate when a step improves f by
     # less than ftol ulps (ftol * eps * |f|). In f32 the gradient-norm test
     # alone is often unreachable at d >> 1 while the Hager-Zhang approximate
@@ -251,14 +264,7 @@ def minimize_lbfgs_trace(
         return (-lp).astype(dtype), (-glp).astype(dtype)
 
     f0, g0 = neg_vg(x0)
-    # gradient-scale-aware gtol clamp (see comment above); non-finite or
-    # zero g0 falls back to the plain floor
-    g0_scale = jnp.max(jnp.abs(g0))
-    g0_scale = jnp.where(jnp.isfinite(g0_scale) & (g0_scale > 0), g0_scale, 1.0)
-    gtol = jnp.maximum(
-        jnp.asarray(gtol_user, dtype),
-        gtol_floor * jnp.minimum(1.0, g0_scale),
-    )
+    gtol = scale_aware_gtol(gtol_user, g0, dtype)
     # abort rule in the minimizer view: f = -logp, so logp==+Inf ⇔ f==-Inf
     init_abort = should_abort_nonfinite(-f0, -g0, fail_on_nonfinite)
     # a NaN/Inf-gradient start can't make progress either way; with

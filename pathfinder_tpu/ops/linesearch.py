@@ -84,7 +84,7 @@ def resolve_c1(c1, line_search: str) -> float:
     accept near-full-slope overshoots) and the Armijo constant 1e-4 for
     the strong-Wolfe / Moré-Thuente / backtracking family."""
     if c1 is not None:
-        return float(c1)
+        return c1  # pass through unchanged (may be a traced scalar)
     return 0.1 if line_search == "hager_zhang" else 1e-4
 
 def _cubic_min(a, fa, dfa, b, fb, dfb):

@@ -214,7 +214,7 @@ def pdfactorize(
     # grows inversely, and an absolute ridge then drives I + KᵀDK
     # indefinite (NaN factorization for a perfectly fine W). With the
     # data-relative scale the ridge stays O(eps) *of the data*.
-    scale = jnp.max(jnp.diagonal(G)) if m else jnp.ones((), dtype)
+    scale = jnp.max(jnp.diagonal(G))  # m == 0 returned above
     scale = jnp.where(scale > 0, scale, 1.0)
     if col_mask is not None:
         # masked columns get an identity block AT THE DATA SCALE so they

@@ -536,3 +536,20 @@ def test_small_scale_gradients_still_optimize():
     last = int(trace.num_valid) - 1
     x_end = np.asarray(trace.xs[last])
     assert np.abs(x_end).max() < 1e-2  # reached the optimum region
+
+
+def test_small_scale_gradients_cg_matches_lbfgs_semantics():
+    """The CG driver shares the gradient-scale-aware gtol clamp: a
+    small-scaled target must optimize under optimizer='cg' too."""
+    from pathfinder_tpu.ops.cg import minimize_cg_trace
+
+    scale = 1e-7
+
+    def vg(x):
+        return scale * (-0.5 * jnp.sum(x * x)), scale * (-x)
+
+    x0 = jnp.full((5,), 2.0, jnp.float32)
+    trace = minimize_cg_trace(vg, x0, maxiters=50, gtol=1e-10)
+    assert int(trace.num_valid) > 2
+    last = int(trace.num_valid) - 1
+    assert np.abs(np.asarray(trace.xs[last])).max() < 1e-2
