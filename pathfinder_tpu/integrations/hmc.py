@@ -95,6 +95,15 @@ class WoodburyMetric:
         the component that produced draw ``draw_index`` — the analog of the
         reference's per-path ``RankUpdateEuclideanMetric`` construction,
         since no single Woodbury matrix represents a mixture)."""
+        # Validate the index up front — JAX gather semantics would
+        # silently clamp an out-of-range draw_index to the last draw
+        # (both here and in the warm starts' `draws[:, draw_index]`).
+        ndraws = result.draws.shape[1]
+        if not -ndraws <= draw_index < ndraws:
+            raise IndexError(
+                f"draw_index {draw_index} out of range for a result with "
+                f"{ndraws} draws"
+            )
         fd = result.fit_distribution
         if hasattr(fd, "cov"):
             return WoodburyMetric(fd.cov)

@@ -533,17 +533,16 @@ def nuts_chains(
     run at the last ulp (per-device batch width changes XLA's
     vectorization/FMA grouping across the chain axis — measured ~5e-15
     in f64), which is the same reassociation-level caveat as the
-    multipath cg dryrun check."""
+    multipath cg dryrun check.
+
+    ``value_and_grad`` is a static (identity-keyed) jit argument: pass the
+    *same callable object* across calls to reuse the compiled sampler —
+    e.g. a target's cached ``.value_and_grad`` attribute, not a fresh
+    ``jax.value_and_grad(logp)`` per call."""
     from pathfinder_tpu.utils.diagnostics import summarize
 
     C = x0s.shape[0]
     keys = jax.random.split(key, C)
-    # one outer jit in BOTH layouts: sharded and unsharded then run the
-    # same compiled-program structure, so mesh placement is the only
-    # difference and the bit-identity contract holds
-    fn = jax.jit(
-        jax.vmap(lambda k, x0: nuts(k, value_and_grad, metric, x0, **kwargs))
-    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -557,8 +556,60 @@ def nuts_chains(
         spec = NamedSharding(mesh, PartitionSpec(axis))
         keys = jax.device_put(keys, spec)
         x0s = jax.device_put(x0s, spec)
-    out = fn(keys, x0s)  # GSPMD partitions the sampler when sharded
+    out = _nuts_vmapped(keys, value_and_grad, metric, x0s, **kwargs)
     return out, summarize(out.samples)
+
+
+# One persistent outer jit for nuts_chains in BOTH layouts: sharded and
+# unsharded run the same compiled-program structure (mesh placement is the
+# only difference, so the bit-identity contract holds), and repeated calls
+# with the same target/shapes hit the pjit cache instead of re-tracing a
+# per-call lambda (which would recompile the whole sampler every call).
+@partial(
+    jax.jit,
+    static_argnames=(
+        "value_and_grad",
+        "num_samples",
+        "num_warmup",
+        "max_depth",
+        "adapt_mass_matrix",
+        "init_buffer",
+        "term_buffer",
+        "base_window",
+    ),
+)
+def _nuts_vmapped(
+    keys: jax.Array,
+    value_and_grad: Callable,
+    metric: Optional[WoodburyMetric],
+    x0s: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    max_depth: int = 10,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_mass_matrix: bool = False,
+    init_buffer: int = 75,
+    term_buffer: int = 50,
+    base_window: int = 25,
+):
+    return jax.vmap(
+        lambda k, x0: nuts(
+            k,
+            value_and_grad,
+            metric,
+            x0,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            max_depth=max_depth,
+            init_step_size=init_step_size,
+            target_accept=target_accept,
+            adapt_mass_matrix=adapt_mass_matrix,
+            init_buffer=init_buffer,
+            term_buffer=term_buffer,
+            base_window=base_window,
+        )
+    )(keys, x0s)
 
 
 def nuts_warm_start(

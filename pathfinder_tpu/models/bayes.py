@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import numbers
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -195,18 +196,27 @@ class Beta(Distribution):
     def log_prob(self, x):
         from jax.scipy.special import betaln, xlog1py, xlogy
 
-        # unit shapes: drop the term statically — xlogy keeps the VALUE
-        # finite at a saturated-bijector corner (0*log(0)=0) but its
-        # gradient is (a-1)/x = 0/0 = NaN there; a, b are static floats
+        # unit shapes: drop the term statically (see _is_static_one —
+        # covers int/numpy-typed shapes like Beta(1, 3), not just float)
         out = -betaln(self.a, self.b) + jnp.zeros_like(x)
-        if not (isinstance(self.a, float) and self.a == 1.0):
+        if not _is_static_one(self.a):
             out = out + xlogy(self.a - 1.0, x)
-        if not (isinstance(self.b, float) and self.b == 1.0):
+        if not _is_static_one(self.b):
             out = out + xlog1py(self.b - 1.0, -x)
         return out
 
     def sample(self, key, shape):
         return jax.random.beta(key, self.a, self.b, shape)
+
+
+def _is_static_one(value) -> bool:
+    """True when ``value`` is a concrete (non-traced) scalar equal to 1 —
+    Python int/float or numpy scalar. Used to drop unit-shape xlogy terms
+    statically: xlogy keeps the VALUE finite at a saturated-bijector
+    corner (0*log(0)=0) but its gradient is 0/0 = NaN there. Traced
+    values return False (the term is kept; dropping it would be wrong
+    for a runtime-varying shape)."""
+    return isinstance(value, numbers.Real) and float(value) == 1.0
 
 
 def _check_positive(dist: str, **params) -> None:
@@ -239,8 +249,9 @@ class Gamma(Distribution):
         out = a * jnp.log(b) - gammaln(a) - b * x
         # a == 1 (the default): drop the shape term statically — xlogy
         # keeps the VALUE finite when Exp.forward underflows to exactly 0
-        # in float32 (0*log(0)=0) but its gradient is 0/0 = NaN there
-        if not (isinstance(a, float) and a == 1.0):
+        # in float32 (0*log(0)=0) but its gradient is 0/0 = NaN there;
+        # _is_static_one also catches int/numpy-typed Gamma(1, b)
+        if not _is_static_one(a):
             out = out + xlogy(a - 1.0, x)
         return out
 

@@ -328,6 +328,21 @@ def test_warm_start_from_multipath_result():
         jax.random.key(2), mres, num_samples=200, num_warmup=150, max_depth=6
     )
     assert np.isfinite(np.asarray(nout.samples)).all()
+    # out-of-range draw_index raises instead of silently clamping to the
+    # last draw (JAX gather semantics would clamp)
+    import pytest
+
+    with pytest.raises(IndexError, match="draw_index 40"):
+        WoodburyMetric.from_result(mres, draw_index=40)
+    with pytest.raises(IndexError):
+        WoodburyMetric.from_result(mres, draw_index=-41)
+    # negative in-range indices follow Python semantics
+    m_last = WoodburyMetric.from_result(mres, draw_index=-1)
+    k_last = int(mres.draw_component_ids[-1])
+    np.testing.assert_allclose(
+        np.asarray(m_last.minv.to_dense()),
+        np.asarray(mres.fit_distribution.component(k_last).cov.to_dense()),
+    )
 
 
 def test_zero_warmup_respects_init_step_size():

@@ -200,6 +200,20 @@ def test_nuts_chains_with_summary():
     np.testing.assert_allclose(
         np.asarray(summary["mean"]), target.mean, atol=0.2
     )
+    # a second identical call hits the persistent pjit cache instead of
+    # re-tracing a per-call lambda (which would recompile the sampler)
+    from pathfinder_tpu.integrations.nuts import _nuts_vmapped
+
+    n_before = _nuts_vmapped._cache_size()
+    out2, _ = nuts_chains(
+        jax.random.key(1), target.value_and_grad,
+        WoodburyMetric.from_result(res), res.draws[:, :4].T,
+        num_samples=1000, num_warmup=300,
+    )
+    assert _nuts_vmapped._cache_size() == n_before
+    np.testing.assert_array_equal(
+        np.asarray(out2.samples), np.asarray(out.samples)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -710,6 +710,33 @@ def test_boundary_log_prob_no_nan():
     assert not np.isnan(float(g[0]))
 
 
+def test_unit_shape_detection_accepts_int_and_numpy_params():
+    """Unit shapes written as ints or numpy scalars (Gamma(1, 2),
+    Beta(1, 3)) get the same static term drop as float 1.0 — otherwise
+    the xlogy gradient is 0/0 = NaN at a saturated-bijector corner."""
+    from pathfinder_tpu.models.bayes import Gamma
+
+    zero = jnp.asarray(0.0, jnp.float32)
+    for a_one in (1, 1.0, np.float32(1.0), np.int64(1)):
+        g = Gamma(a_one, 2)  # int rate is fine either way
+        assert np.isfinite(float(g.log_prob(zero)))
+        b = Beta(a_one, 3)
+        assert np.isfinite(float(b.log_prob(zero)))
+    # gradient stays NaN-free through the linked density with int shapes
+    m = BayesModel(
+        priors={"sigma": (Gamma(1, 1), 1)},
+        loglikelihood=None,
+    )
+    vg = m.transformed.unconstrained.value_and_grad
+    val, g = vg(jnp.asarray([-90.0], jnp.float32))
+    assert not np.isnan(float(val))
+    assert not np.isnan(float(g[0]))
+    # non-unit shapes keep the term (Gamma(2,1) at 0 is log 0 = -inf)
+    from pathfinder_tpu.models.bayes import Gamma as G
+
+    assert float(G(2, 1.0).log_prob(zero)) == -np.inf
+
+
 def test_init_from_params_out_of_support_raises():
     """A fixed value outside its prior's support raises a ValueError naming
     the parameter (the reference InitFromParams validates support) instead
