@@ -54,8 +54,13 @@ def elbo_and_samples(
     logp_x = jax.vmap(logp, in_axes=1)(draws).astype(draws.dtype)
     logr = logp_x - logq
     elbo = jnp.mean(logr)
-    var = jnp.sum((logr - elbo) ** 2) / jnp.maximum(ndraws - 1, 1)
-    se = jnp.sqrt(var / ndraws)
+    if ndraws > 1:
+        var = jnp.sum((logr - elbo) ** 2) / (ndraws - 1)
+        se = jnp.sqrt(var / ndraws)
+    else:
+        # a single draw has no variance information: SE is unknown, not
+        # 0.0 (the reference's std of one draw is NaN too)
+        se = jnp.full_like(elbo, jnp.nan)
     return ELBOEstimate(elbo, se, draws, logp_x, logq, logr)
 
 
@@ -127,7 +132,10 @@ def maximize_elbo_chunked(
     _, vals, ses = jax.lax.while_loop(cond, body, init)
     vals = vals.reshape(pad_total)[:num_candidates]
     ses = ses.reshape(pad_total)[:num_candidates]
+    # NaN == invalid for BOTH outputs: a chunk straddling the trajectory
+    # end computes finite garbage stats from clipped trace points
     vals = jnp.where(valid_mask, vals, jnp.nan)
+    ses = jnp.where(valid_mask, ses, jnp.nan)
     best, idx = findmax_skipnan(vals)
     return idx, vals, ses, best
 
@@ -150,6 +158,11 @@ def maximize_elbo(
     L = dists.mean.shape[0]
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(L))
     ests = jax.vmap(lambda k, d: elbo_and_samples(k, logp, d, ndraws))(keys, dists)
-    values = jnp.where(valid_mask, ests.value, jnp.nan)
-    best, idx = findmax_skipnan(values)
+    # NaN-mask the returned per-candidate stats at invalid slots, matching
+    # maximize_elbo_chunked's contract (invalid == NaN, never garbage)
+    ests = ests._replace(
+        value=jnp.where(valid_mask, ests.value, jnp.nan),
+        std_err=jnp.where(valid_mask, ests.std_err, jnp.nan),
+    )
+    best, idx = findmax_skipnan(ests.value)
     return idx, ests, best

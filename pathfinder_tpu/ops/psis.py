@@ -79,6 +79,15 @@ def gpdfit(x: jax.Array, prior_bs: float = 3.0, prior_k: float = 10.0):
     m = 30 + int(math.floor(math.sqrt(n)))
     j = jnp.arange(1, m + 1, dtype=dtype)
     xq = x[int(n / 4.0 + 0.5) - 1]  # first-quartile order statistic
+    # ≥25% of the exceedances tying the cutoff makes xq exactly 0 (e.g.
+    # duplicated ratios, or several +inf ratios capped to one value) and
+    # the grid below would divide by it, NaN-ing the whole fit. Anchor the
+    # grid at the smallest positive exceedance instead — the b-grid is a
+    # scale heuristic, and bs < 1/xmax stays true for any positive anchor.
+    pos_min = jnp.min(jnp.where(x > 0, x, jnp.inf))
+    xq = jnp.where(
+        xq > 0, xq, jnp.where(jnp.isfinite(pos_min), pos_min, 1.0)
+    )
     xmax = x[-1]
     bs = 1.0 / xmax + (1.0 - jnp.sqrt(m / (j - 0.5))) / (prior_bs * xq)
     # profile log-likelihood over the grid

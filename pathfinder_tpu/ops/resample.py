@@ -44,6 +44,20 @@ def resample_indices(
         )
     if log_weights is None:
         return jax.random.permutation(key, total)[:ndraws]
+    # Gumbel-top-k can only fill ndraws slots from positive-weight entries:
+    # -inf + gumbel = -inf, so once the support is exhausted top_k would
+    # return arbitrary zero-probability indices (e.g. draws whose target
+    # density was NaN, mapped to weight 0 by PSIS). The with-replacement
+    # inverse-CDF path can never select such an entry; keep the two
+    # branches' guarantees consistent by refusing instead. (Host-side
+    # check — this is the public resample path, not a jitted core.)
+    n_support = int(jnp.sum(log_weights > -jnp.inf))
+    if ndraws > n_support:
+        raise ValueError(
+            f"cannot draw {ndraws} without replacement: only {n_support} "
+            f"of {total} pooled draws have nonzero importance weight "
+            "(use replace=True, or fewer draws)"
+        )
     g = jax.random.gumbel(key, (total,), dtype=log_weights.dtype)
     _, idx = jax.lax.top_k(log_weights + g, ndraws)
     return idx

@@ -42,7 +42,7 @@ from pathfinder_tpu.ops.lbfgs import (
     lbfgs_inverse_hessians,
     minimize_lbfgs_trace,
 )
-from pathfinder_tpu.ops.mvnormal import MvNormal
+from pathfinder_tpu.ops.mvnormal import MvNormal, fit_mvnormal
 
 __all__ = [
     "pathfinder",
@@ -118,10 +118,9 @@ def _candidate_dists(trace, aux, points, history_length):
     """Fits + means at the given trajectory points (μ = θ + Σ∇logp,
     ``src/mvnormal.jl:17``)."""
     fits = lbfgs_fits_at(aux, points, history_length)
-    mus = jax.vmap(lambda c, g, x: x + c.mul(g))(
-        fits, trace.gradients[points], trace.xs[points]
-    )
-    return MvNormal(mus, fits)
+    return jax.vmap(
+        lambda c, g, x: fit_mvnormal(x, g, c)
+    )(fits, trace.gradients[points], trace.xs[points])
 
 
 @partial(jax.jit, static_argnames=("target", "config"))
@@ -281,10 +280,9 @@ class PathfinderResult:
             history_length=cfg.history_length,
             epsilon_curvature=cfg.epsilon_curvature,
         )
-        mus = jax.vmap(lambda c, g, x: x + c.mul(g))(
-            fits, self.optim_trace.gradients, self.optim_trace.xs
-        )
-        return MvNormal(mus, fits)
+        return jax.vmap(
+            lambda c, g, x: fit_mvnormal(x, g, c)
+        )(fits, self.optim_trace.gradients, self.optim_trace.xs)
 
     @property
     def elbo_estimates(self) -> ELBOEstimate:

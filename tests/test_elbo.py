@@ -147,3 +147,34 @@ def test_maximize_elbo_chunked_non_prefix_mask():
     assert int(idx) == 2
     assert abs(float(best)) < 0.05
     assert np.isnan(float(vals[0])) and np.isnan(float(vals[7]))
+    # NaN == invalid for the SEs too, matching the values contract
+    assert np.isnan(np.asarray(ses)[~np.asarray(mask)]).all()
+    assert np.isfinite(np.asarray(ses)[np.asarray(mask)]).all()
+
+
+def test_invalid_candidates_are_nan_in_both_outputs():
+    """maximize_elbo NaN-masks value AND std_err at invalid slots (same
+    contract as maximize_elbo_chunked): a consumer reading per-candidate
+    stats must never see finite garbage at a masked candidate."""
+    sigma = 2.0
+    logp = target_logp(sigma)
+    dists = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves),
+        *[normal_1d(s) for s in [0.5, 1.0, 2.0, 3.0]],
+    )
+    mask = jnp.asarray([True, True, False, True])
+    _, ests, _ = maximize_elbo(jax.random.key(2), logp, dists, 50, mask)
+    assert np.isnan(float(ests.value[2])) and np.isnan(float(ests.std_err[2]))
+    assert np.isfinite(np.asarray(ests.value)[np.asarray(mask)]).all()
+
+
+def test_single_draw_elbo_se_is_nan():
+    """ndraws=1 carries no variance information: std_err is NaN (the
+    reference's std of one draw), never a claimed-perfect 0.0."""
+    from pathfinder_tpu.ops.elbo import elbo_and_samples
+
+    est = elbo_and_samples(
+        jax.random.key(0), target_logp(2.0), normal_1d(1.0), 1
+    )
+    assert np.isfinite(float(est.value))
+    assert np.isnan(float(est.std_err))

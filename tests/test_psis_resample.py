@@ -135,6 +135,48 @@ def test_resample_indices_without_replacement_unique():
     assert len(set(idx_u.tolist())) == 30
 
 
+def test_resample_without_replacement_refuses_zero_weight_fill():
+    """Gumbel-top-k must not pad the selection with zero-weight entries
+    (e.g. NaN-target draws mapped to -inf by PSIS) once the positive-
+    weight support is exhausted — refuse with a clear error instead."""
+    import pytest
+
+    lw = jnp.asarray(
+        np.concatenate([np.zeros(10), np.full(40, -np.inf)]), jnp.float32
+    )
+    # within support: fine, and only support indices are returned
+    idx = np.asarray(
+        resample_indices(jax.random.key(1), 50, 10, lw, replace=False)
+    )
+    assert set(idx.tolist()) <= set(range(10))
+    with pytest.raises(ValueError, match="only 10 of 50"):
+        resample_indices(jax.random.key(1), 50, 11, lw, replace=False)
+
+
+def test_gpdfit_survives_quartile_tie():
+    """≥25% of the tail tying the cutoff zeroes the first-quartile
+    exceedance; the b-grid anchor must fall back to the smallest positive
+    exceedance so the fit (and the k-hat diagnostic) still happens."""
+    rng = np.random.default_rng(13)
+    # tail_length(1.0, 200) = 40; put 25 ties straddling the cutoff so the
+    # cutoff itself is the tied value: 15/40 tail exceedances are exactly 0
+    # (37.5% >= 25% -> the first-quartile exceedance is 0) while the top 25
+    # tail entries keep positive exceedances for a perfectly usable fit
+    lr = np.sort(rng.uniform(0.0, 1.5, 200))
+    lr[150:175] = 2.0
+    lr[175:] = 2.0 + rng.exponential(0.5, 25)
+    res = psis(jnp.asarray(lr))
+    w = np.asarray(res.weights)
+    assert np.all(np.isfinite(w))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+    assert np.isfinite(float(res.pareto_shape))  # diagnostic not lost
+    # fully-degenerate tail (every exceedance 0) still reports NaN — a GPD
+    # genuinely cannot be fit to a zero-variance tail
+    all_tied = np.asarray(lr)
+    all_tied[150:] = 2.0
+    assert np.isnan(float(psis(jnp.asarray(all_tied)).pareto_shape))
+
+
 def test_resample_degenerate_weights_selects_one_component():
     """One-hot weights select only that component (reference
     ``test/resample.jl`` degenerate-weights case)."""
