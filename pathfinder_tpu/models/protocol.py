@@ -112,20 +112,37 @@ def as_log_density(fn, dim=None, grad=None) -> LogDensity:
     raise TypeError(f"cannot interpret {type(fn)!r} as a log density")
 
 
+def _callable_key(f):
+    """Identity key that is stable across attribute accesses. Bound
+    methods are re-created on every ``obj.method`` access, so keying (or
+    caching) on the method object itself never hits; key on the
+    (instance, function) pair instead. The ids stay valid because the
+    cached closure keeps the original callable — and hence both id'd
+    objects — alive."""
+    self_ = getattr(f, "__self__", None)
+    func = getattr(f, "__func__", None)
+    if self_ is not None and func is not None:
+        return (id(self_), id(func))
+    return id(f)
+
+
 def _vg_from_parts(logp, grad):
-    # cached on the logp object, keyed by grad identity: repeated
-    # pathfinder(fn, grad=g) calls must produce the same LogDensity hash
-    # (vg is part of _key when explicit) or the jitted core recompiles
-    # every call
-    cache = getattr(logp, "_pf_vg_parts", None)
-    if cache is not None and cache[0] is grad:
+    # cached on the logp object (or, for a bound method, on its instance —
+    # methods have no __dict__ and fresh identity per access), keyed by
+    # grad identity: repeated pathfinder(fn, grad=g) calls must produce
+    # the same LogDensity hash (vg is part of _key when explicit) or the
+    # jitted core recompiles every call
+    owner = getattr(logp, "__self__", logp)
+    key = (_callable_key(logp), _callable_key(grad))
+    cache = getattr(owner, "_pf_vg_parts", None)
+    if cache is not None and cache[0] == key:
         return cache[1]
 
     def value_and_grad(x):
         return logp(x), grad(x)
 
     try:
-        logp._pf_vg_parts = (grad, value_and_grad)
+        owner._pf_vg_parts = (key, value_and_grad)
     except (AttributeError, TypeError):
         pass  # no __dict__: uncached
     return value_and_grad

@@ -36,8 +36,10 @@ def dim_mesh(devices=None) -> Mesh:
 
 
 def dim_sharding_for(mesh: Mesh, leaf) -> NamedSharding:
-    """Sharding that splits the leading (d) axis; replicates scalars and
-    arrays whose leading axis is not the parameter dimension (m×m cores)."""
+    """Sharding that splits the leading axis of ``leaf`` over the ``dim``
+    mesh axis (scalars replicate). Note this shards *whatever* axis 0 is —
+    the is-this-leaf-actually-d filtering (replicating m×m cores etc.)
+    lives in :func:`shard_dim`, which is the API to use on whole trees."""
     if leaf.ndim == 0:
         return NamedSharding(mesh, P())
     spec = [None] * leaf.ndim
@@ -83,6 +85,17 @@ def shard_dim(tree, mesh: Mesh, dim: Optional[int] = None):
                 f"{n_dev}-device mesh; every leaf will be REPLICATED, not "
                 "sharded. Pass dim= explicitly or pad the arrays."
             )
+
+    elif dim >= 0 and not any(
+        getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == dim
+        for leaf in jax.tree_util.tree_leaves(tree)
+    ):
+        # an explicit mesh-divisible dim matching no leaf would silently
+        # replicate everything — same failure the divisibility check guards
+        raise ValueError(
+            f"dim={dim} matches no leaf's leading axis; leading axes are "
+            f"{sorted({leaf.shape[0] for leaf in jax.tree_util.tree_leaves(tree) if getattr(leaf, 'ndim', 0) >= 1})}."
+        )
 
     def place(leaf):
         leaf = jax.numpy.asarray(leaf)

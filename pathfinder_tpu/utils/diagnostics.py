@@ -50,7 +50,11 @@ def _rank_normalize(x):
     sorted_flat = jnp.sort(flat)
     lo = jnp.searchsorted(sorted_flat, flat, side="left")
     hi = jnp.searchsorted(sorted_flat, flat, side="right")
-    ranks = 0.5 * (lo + hi + 1).astype(x.dtype)
+    # rank arithmetic in a float dtype of at least f32 precision: casting
+    # to x.dtype would round integer ranks in bf16 (exact only to 256) or
+    # degenerate entirely for bool indicator chains
+    rank_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    ranks = 0.5 * (lo + hi + 1).astype(rank_dtype)
     z = ndtri((ranks - 0.375) / (S + 0.25))
     return z.reshape(shape)
 

@@ -32,7 +32,6 @@ def findmax_skipnan(values, valid_mask=None):
     # argmax returns the first index among ties; an all-(-inf) row gives 0,
     # matching the reference's "first entry retained even if NaN" rule.
     idx = jnp.argmax(keyed)
-    value = jnp.where(jnp.all(isnan), jnp.nan, values[idx])
     # reference subtlety: genuine -Inf values are *not* skipped — if the best
     # non-NaN value is -Inf, argmax may land on a NaN/masked slot; force it
     # to the first genuinely non-NaN slot instead.

@@ -38,20 +38,33 @@ class ThrottledProgress:
         self._next_count = self.step
         self._next_time = time.monotonic() + min_seconds
         self._done = 0
+        self._extra = ""
+        self._last_len = 0
+
+    def _emit(self, completed: int, extra: str) -> None:
+        frac = completed / self.total
+        body = f"{self.name}: {completed}/{self.total} ({frac:.1%}) {extra}"
+        # pad with spaces so a shorter line fully overwrites a longer one
+        pad = " " * max(0, self._last_len - len(body))
+        self._last_len = len(body)
+        self.stream.write("\r" + body + pad)
+        self.stream.flush()
 
     def update(self, completed: int, extra: str = "") -> None:
         self._done = completed
+        self._extra = extra
         now = time.monotonic()
         if completed >= self.total or (
             completed >= self._next_count and now >= self._next_time
         ):
-            frac = completed / self.total
-            msg = f"\r{self.name}: {completed}/{self.total} ({frac:.1%}) {extra}"
-            self.stream.write(msg)
-            self.stream.flush()
+            self._emit(completed, extra)
             self._next_count = completed + self.step
             self._next_time = now + self.min_seconds
 
     def close(self) -> None:
+        # the final state must always be visible, even if the last update
+        # was throttled away (e.g. completed < total because some paths
+        # permanently failed)
+        self._emit(self._done, self._extra)
         self.stream.write("\n")
         self.stream.flush()

@@ -86,8 +86,17 @@ def _encode(obj, arrays: dict, counter: list):
     if isinstance(obj, (jax.Array, np.ndarray, np.generic)):
         aid = f"a{counter[0]}"
         counter[0] += 1
-        arrays[aid] = np.asarray(obj)
-        return {"arr": aid}
+        arr = np.asarray(obj)
+        node = {"arr": aid}
+        if arr.dtype.kind == "V":
+            # ml_dtypes (bfloat16 / float8_*) have numpy kind 'V':
+            # np.savez would write dtype-less raw bytes that load as
+            # '|V2' garbage. Store a lossless float32 upcast (exact for
+            # every <=16-bit ml float) plus the original dtype name.
+            node["dt"] = arr.dtype.name
+            arr = arr.astype(np.float32)
+        arrays[aid] = arr
+        return node
     items = _field_items(obj)
     if items is not None and type(obj).__name__ in _registry():
         return {
@@ -110,7 +119,10 @@ def _decode(meta, arrays, rebind: dict, unbound: set):
     if "lit" in meta:
         return meta["lit"]
     if "arr" in meta:
-        return jnp.asarray(arrays[meta["arr"]])
+        out = jnp.asarray(arrays[meta["arr"]])
+        if "dt" in meta:  # restore an ml_dtypes leaf (see _encode)
+            out = out.astype(meta["dt"])
+        return out
     if "key" in meta:
         return jax.random.wrap_key_data(jnp.asarray(arrays[meta["key"]]))
     if "seq" in meta:
@@ -188,7 +200,17 @@ FORMAT_VERSION = 1
 def save_result(path: str, result) -> None:
     """Save any registered result/state pytree to ``<path>.npz``."""
     arrays: dict = {}
-    meta = {"v": FORMAT_VERSION, "root": _encode(result, arrays, [0])}
+    root = _encode(result, arrays, [0])
+    if "skip" in root:
+        # an unregistered root would write a file that loads as None with
+        # no warning (the unbound-fields check only sees fields of
+        # registered types) — refuse loudly at save time instead
+        raise TypeError(
+            f"save_result: {type(result).__name__} is not a serializable "
+            "result type (register it in TYPE_REGISTRY, or save a "
+            "PathfinderResult/MultiPathfinderResult/SinglePathState)"
+        )
+    meta = {"v": FORMAT_VERSION, "root": root}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )

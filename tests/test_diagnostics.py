@@ -106,3 +106,41 @@ def test_throttled_progress_contract():
     # throttled: ~10 updates (every 10%), not 100
     assert out.count("/1000") <= 15
     assert "1000/1000 (100.0%)" in out
+
+
+def test_throttled_progress_final_state_visible_when_incomplete():
+    """close() must emit the last reported state even when it was
+    throttled away (completed < total, e.g. permanently failed paths) —
+    the terminal line must not show a stale earlier count."""
+    import io
+
+    from pathfinder_tpu.utils.progress import ThrottledProgress
+
+    buf = io.StringIO()
+    p = ThrottledProgress(100, min_seconds=1e9, min_fraction=0.5, stream=buf)
+    p.update(10, extra="(round 1, long tail here)")
+    p.update(97, extra="done")  # throttled: below step AND inside window
+    p.close()
+    lines = buf.getvalue().split("\r")
+    assert any("97/100" in ln for ln in lines)
+    # a shorter final line fully overwrites the longer previous one
+    final = lines[-1].rstrip("\n")
+    assert "long tail" not in final
+
+
+def test_rank_normalize_bool_and_bf16_chains():
+    """Rank arithmetic happens in float32+, not the sample dtype: a bool
+    indicator chain must yield finite diagnostics (ranks would all round
+    to one value in bool/bf16 arithmetic)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 500, 1))
+    ind = jnp.asarray(x > 0.3)  # bool indicator chains
+    r = np.asarray(split_rhat(ind))
+    assert np.isfinite(r).all() and np.all(r < 1.1)
+    e = np.asarray(ess_bulk(ind))
+    assert np.isfinite(e).all() and np.all(e > 100)
+    xb = jnp.asarray(x, ml_dtypes.bfloat16)
+    rb = np.asarray(split_rhat(xb))
+    assert np.isfinite(rb).all() and np.all(rb < 1.1)

@@ -123,3 +123,15 @@ def test_shard_dim_warns_when_nothing_shardable(mesh):
     that everything will be replicated."""
     with pytest.warns(UserWarning, match="REPLICATED"):
         shard_dim((jnp.zeros(7), jnp.zeros(3)), mesh)
+
+
+def test_shard_dim_rejects_explicit_dim_matching_no_leaf(mesh):
+    """A mesh-divisible explicit dim that matches no leaf's leading axis
+    must raise, not silently replicate everything (e.g. the user padded
+    the arrays to d_pad but still passed the old d)."""
+    x = jnp.zeros(1024)  # padded
+    with pytest.raises(ValueError, match="matches no leaf"):
+        shard_dim((x,), mesh, dim=1000 - 1000 % 8)  # stale divisible d
+    # the matching dim still works
+    out = shard_dim((x,), mesh, dim=1024)
+    assert out[0].shape == (1024,)

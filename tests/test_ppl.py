@@ -782,3 +782,26 @@ def test_log_density_hash_stable_across_paths():
             return -0.5 * jnp.sum(x * x)
 
     assert as_log_density(Obj(), dim=7).dim == 7
+
+    # BOUND-METHOD logp/grad: every obj.method access creates a fresh
+    # method object, so the vg cache must key on (instance, function) and
+    # live on the instance — else the target hash splits and the jitted
+    # core recompiles per call
+    class MethObj:
+        def logp(self, x):
+            return -0.5 * jnp.sum(x * x)
+
+        def grad(self, x):
+            return -x
+
+    o = MethObj()
+    d1 = as_log_density(o.logp, dim=5, grad=o.grad)
+    d2 = as_log_density(o.logp, dim=5, grad=o.grad)
+    assert d1.value_and_grad is d2.value_and_grad
+    # a different instance must NOT share the cache
+    o2 = MethObj()
+    d3 = as_log_density(o2.logp, dim=5, grad=o2.grad)
+    assert d3.value_and_grad is not d1.value_and_grad
+    v, g = d1.value_and_grad(jnp.ones(5))
+    np.testing.assert_allclose(float(v), -2.5)
+    np.testing.assert_allclose(np.asarray(g), -np.ones(5))

@@ -146,6 +146,41 @@ def test_roundtrip_bayes_model_result(tmp_path):
     assert np.all(np.asarray(r2.draws_transformed["sigma"]) > 0)
 
 
+def test_bfloat16_leaves_roundtrip_exactly(tmp_path):
+    """ml_dtypes leaves (bfloat16 etc., numpy kind 'V') must round-trip
+    bit-exactly — np.savez alone would store them as dtype-less raw bytes
+    that load as '|V2' garbage."""
+    import ml_dtypes
+
+    target = StandardNormal(4)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=8, maxiters=20)
+    import dataclasses
+
+    vals = jnp.asarray(
+        np.linspace(-3.0, 3.0, res.draws.size).reshape(res.draws.shape),
+        ml_dtypes.bfloat16,
+    )
+    res_bf = dataclasses.replace(res, draws=vals)
+    p = str(tmp_path / "bf16")
+    save_result(p, res_bf)
+    loaded = load_result(p, fn=target)
+    assert loaded.draws.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws, np.float32), np.asarray(vals, np.float32)
+    )
+
+
+def test_unregistered_root_raises_at_save_time(tmp_path):
+    """Saving an unserializable root must fail loudly at save time, not
+    write a file that loads as None."""
+    import pytest
+
+    with pytest.raises(TypeError, match="not a serializable"):
+        save_result(str(tmp_path / "bad"), lambda x: x)
+    with pytest.raises(TypeError, match="not a serializable"):
+        save_result(str(tmp_path / "bad2"), object())
+
+
 def test_type_registry_is_a_mapping():
     """``TYPE_REGISTRY`` is exported as a mapping (PEP 562 lazy build): the
     documented extension/introspection point must be subscriptable."""
