@@ -82,9 +82,11 @@ class PathfinderConfig(NamedTuple):
     # trajectory optimizer (the reference accepts any Optimization.jl
     # optimizer and tests BFGS/ConjugateGradient/NLopt,
     # src/singlepath.jl:120-123, test/optimize.jl:104-135). "lbfgs"
-    # (default) or "cg" (PR+ nonlinear conjugate gradient,
-    # ops/cg.minimize_cg_trace) — the fit/ELBO stages consume only the
-    # emitted trace, so any optimizer that records a trajectory plugs in.
+    # (default), "cg" (PR+ nonlinear conjugate gradient,
+    # ops/cg.minimize_cg_trace), or "bfgs" (dense inverse-Hessian BFGS,
+    # ops/bfgs.minimize_bfgs_trace — O(d²), for moderate d) — the
+    # fit/ELBO stages consume only the emitted trace, so any optimizer
+    # that records a trajectory plugs in.
     # An eval-driven fused L-BFGS alternative was built, benchmarked at
     # ≤4% gain, and removed in round 2; see NOTES.md
     optimizer: str = "lbfgs"
@@ -143,11 +145,15 @@ def pathfinder_core(
         from pathfinder_tpu.ops.cg import minimize_cg_trace
 
         minimize = minimize_cg_trace
+    elif cfg.optimizer == "bfgs":
+        from pathfinder_tpu.ops.bfgs import minimize_bfgs_trace
+
+        minimize = minimize_bfgs_trace
     elif cfg.optimizer == "auto":
         raise ValueError(
             "optimizer='auto' is a multipathfinder feature (it selects by "
             "the multipath Pareto-k̂ diagnostic); a single path has no "
-            "selection signal — pick 'lbfgs' or 'cg' explicitly"
+            "selection signal — pick 'lbfgs', 'cg', or 'bfgs' explicitly"
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

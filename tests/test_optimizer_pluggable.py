@@ -84,6 +84,73 @@ def test_cg_on_correlated_gaussian():
     )
 
 
+def test_bfgs_optimizer_standard_normal_recovery():
+    """optimizer="bfgs" (dense inverse-Hessian BFGS, the reference's
+    Optim.BFGS analog from its any-optimizer test set,
+    ``test/optimize.jl:104-110``) through the full driver."""
+    target = StandardNormal(5)
+    res = pathfinder(
+        target, key=jax.random.key(0), maxiters=30, optimizer="bfgs",
+        ndraws=100,
+    )
+    assert res.success
+    np.testing.assert_allclose(
+        res.fit_distribution.mean, np.zeros(5), atol=1e-5
+    )
+    cov = np.asarray(res.fit_distribution.cov.to_dense())
+    np.testing.assert_allclose(cov, np.eye(5), atol=1e-4)
+
+
+def test_bfgs_trace_contract_and_quadratic_convergence():
+    """minimize_bfgs_trace honors the shared trace contract and, on a
+    correlated quadratic, converges to the optimum with the dense-BFGS
+    step quality (few iterations, final unit steps)."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.models import CorrelatedGaussian
+    from pathfinder_tpu.ops.bfgs import minimize_bfgs_trace
+
+    target = CorrelatedGaussian(8, seed=3)
+    x0 = jnp.asarray(np.full(8, 2.0), jnp.float32)
+    trace = minimize_bfgs_trace(
+        target.value_and_grad, x0, maxiters=60
+    )
+    nv = int(trace.num_valid)
+    assert 2 <= nv <= 40  # dense BFGS: superlinear, far under the cap
+    np.testing.assert_allclose(np.asarray(trace.xs[0]), np.asarray(x0))
+    lps = np.asarray(trace.log_densities[:nv])
+    assert np.all(np.diff(lps) > -1e-5)
+    np.testing.assert_allclose(
+        np.asarray(trace.xs[nv - 1]), target.mean, atol=1e-3
+    )
+    # the trace's gradient rows are the target's gradients at the iterates
+    g_last = np.asarray(target.value_and_grad(trace.xs[nv - 1])[1])
+    np.testing.assert_allclose(
+        np.asarray(trace.gradients[nv - 1]), g_last, rtol=1e-5, atol=1e-6
+    )
+    assert int(trace.num_fn_evals) >= nv
+    assert int(trace.num_bfgs_updates_rejected) == 0  # convex quadratic
+
+
+def test_bfgs_small_scale_gradient_semantics():
+    """The dense-BFGS driver shares the gradient-scale-aware gtol clamp
+    with L-BFGS/CG: a small-scaled target must optimize."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.ops.bfgs import minimize_bfgs_trace
+
+    scale = 1e-7
+
+    def vg(x):
+        return scale * (-0.5 * jnp.sum(x * x)), scale * (-x)
+
+    x0 = jnp.full((5,), 2.0, jnp.float32)
+    trace = minimize_bfgs_trace(vg, x0, maxiters=50, gtol=1e-10)
+    assert int(trace.num_valid) > 2
+    last = int(trace.num_valid) - 1
+    assert np.abs(np.asarray(trace.xs[last])).max() < 1e-2
+
+
 def test_unknown_optimizer_raises():
     with pytest.raises(ValueError, match="unknown optimizer"):
         pathfinder(
