@@ -72,16 +72,17 @@ def test_quadratic_extreme_scales_recover():
         ), scale
 
 
+@pytest.mark.parametrize("optimizer", ["cg", "bfgs"])
 @pytest.mark.parametrize("name", ["nan_pocket", "bounded_support", "plateau"])
-def test_pathological_targets_never_crash_cg(name):
-    """The CG optimizer shares the abort/retry/mask machinery — the key
-    failure geometries must be equally survivable under optimizer="cg"."""
+def test_pathological_targets_never_crash_cg(name, optimizer):
+    """The CG and dense-BFGS optimizers share the abort/retry/mask
+    machinery — the key failure geometries must be equally survivable."""
     logp = CASES[name]
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         res = pathfinder(
             logp, dim=4, key=jax.random.key(0), ndraws=16, maxiters=30,
-            ntries=3, optimizer="cg",
+            ntries=3, optimizer=optimizer,
         )
     assert res.draws.shape == (4, 16)
     if bool(res.success):
