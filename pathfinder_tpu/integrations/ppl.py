@@ -38,7 +38,6 @@ class NumPyroTarget:
 
     def __init__(self, model, model_args=(), model_kwargs=None, seed=0):
         try:
-            import numpyro.infer.util as npu
             from numpyro.infer.util import initialize_model
         except ImportError as e:  # pragma: no cover - env without numpyro
             raise ImportError(
@@ -98,6 +97,12 @@ def draws_to_dict(result, names=None, transform=None) -> Dict[str, Any]:
     d = draws.shape[0]
     if names is None:
         names = [f"x{i}" for i in range(d)]
+    elif len(names) != d:
+        # iterating a short names list would silently discard the
+        # trailing parameter rows
+        raise ValueError(
+            f"names has {len(names)} entries for {d} parameters"
+        )
     return {name: draws[i] for i, name in enumerate(names)}
 
 

@@ -75,27 +75,51 @@ def resolve_transform(fn, transform, dim=None):
     return tld.unconstrained, tld
 
 
-@functools.lru_cache(maxsize=256)
 def _cached_tld(logp_c, bijector, dim) -> "TransformedLogDensity":
-    # one TLD instance per (logp, bijector, dim): repeated pathfinder calls
-    # with the same transform reuse the cached unconstrained closure and so
-    # hit the same pathfinder_core jit entry
-    return TransformedLogDensity(
+    # one TLD instance per (logp, bijector, dim), cached ON the callable
+    # (its instance for a bound method) so retention is bounded by the
+    # target's own lifetime — a module-level lru_cache would pin up to
+    # maxsize user closures (and any datasets they capture) for the life
+    # of the process. One slot per callable: repeated pathfinder calls
+    # with the same transform reuse the cached unconstrained closure and
+    # so hit the same pathfinder_core jit entry; alternating transforms
+    # on one callable re-derive (rare, and correctness is unaffected).
+    from pathfinder_tpu.models.protocol import _callable_key
+
+    owner = getattr(logp_c, "__self__", logp_c)
+    key = (_callable_key(logp_c), bijector, dim)
+    cache = getattr(owner, "_pf_tld_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    tld = TransformedLogDensity(
         logp_constrained=logp_c, bijector=bijector, dim=dim
     )
+    try:
+        owner._pf_tld_cache = (key, tld)
+    except (AttributeError, TypeError):
+        pass  # no __dict__: uncached
+    return tld
 
 
 def transformed_outputs(tld, input_obj, draws, fit_distribution):
     """Constrained-space result fields for a transform-aware run: the
     transformed draws (a named chain dict with per-draw stats when the input
-    model provides ``draws_to_chain``, else the forward-mapped draw matrix)
-    and the pushforward fit distribution. Parity:
-    ``draws_to_chains`` + ``Bijectors.transformed``
+    model provides ``draws_to_chain`` and its own link drove the run, else
+    the forward-mapped draw matrix) and the pushforward fit distribution.
+    Parity: ``draws_to_chains`` + ``Bijectors.transformed``
     (``ext/PathfinderTuringExt.jl:43-48,183-185``)."""
     if tld is None:
         return draws, fit_distribution
+    # only use the model's own chain conversion when the model's own link
+    # IS the transform that drove the optimization — with an explicit
+    # different transform=, converting via the model's bijector would make
+    # draws_transformed inconsistent with fit_distribution_transformed
     chainer = getattr(input_obj, "draws_to_chain", None)
-    draws_t = chainer(draws) if chainer is not None else tld.forward_draws(draws)
+    own_tld = getattr(input_obj, "transformed", None)
+    if chainer is not None and own_tld == tld:
+        draws_t = chainer(draws)
+    else:
+        draws_t = tld.forward_draws(draws)
     return draws_t, TransformedDistribution(fit_distribution, tld.bijector)
 
 
@@ -144,6 +168,18 @@ class Interval(Bijector):
 
     low: float
     high: float
+
+    def __post_init__(self):
+        # swapped bounds would make every log-Jacobian log(negative) = NaN
+        # with no pointer to the cause; validate concrete scalars here
+        if (
+            isinstance(self.low, (int, float))
+            and isinstance(self.high, (int, float))
+            and not self.high > self.low
+        ):
+            raise ValueError(
+                f"Interval: high must exceed low, got ({self.low}, {self.high})"
+            )
 
     def forward(self, z):
         return self.low + (self.high - self.low) * jax.nn.sigmoid(z)
@@ -339,4 +375,8 @@ class TransformedDistribution:
             in_axes=1,
         )(z)
         out = self.base.logpdf(z) - ld
+        # outside the bijector's support the inverse is NaN or ±inf and
+        # the arithmetic above yields NaN (e.g. inf − inf at a boundary);
+        # the correct density there is 0 — report -inf, never NaN
+        out = jnp.where(jnp.isnan(out), -jnp.inf, out)
         return out[0] if single else out

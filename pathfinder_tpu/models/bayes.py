@@ -175,7 +175,11 @@ class Uniform(Distribution):
         return Interval(self.low, self.high)
 
     def log_prob(self, x):
-        return jnp.full_like(x, -math.log(self.high - self.low))
+        # jnp.log: array-valued bounds are accepted (validated elementwise),
+        # matching the sibling distributions
+        return jnp.zeros_like(x) - jnp.log(
+            jnp.asarray(self.high, x.dtype) - jnp.asarray(self.low, x.dtype)
+        )
 
     def sample(self, key, shape):
         return jax.random.uniform(key, shape, minval=self.low, maxval=self.high)
@@ -355,7 +359,10 @@ class Dirichlet(Distribution):
 
         x = jnp.atleast_1d(x)  # size-1 blocks arrive as 0-d scalars
         a = jnp.asarray(self.alpha, x.dtype)
-        x_last = 1.0 - jnp.sum(x)
+        # f32 stick-breaking can round sum(x) a hair past 1; a negative
+        # x_last would make xlogy NaN (not -inf) — clamp to the boundary,
+        # where the density limit is -inf (a>1) / +inf (a<1), both correct
+        x_last = jnp.maximum(1.0 - jnp.sum(x), 0.0)
         xs = jnp.concatenate([x, x_last[None]])
         log_beta = jnp.sum(gammaln(a)) - gammaln(jnp.sum(a))
         # unit-alpha components are dropped statically (value AND gradient

@@ -258,6 +258,12 @@ def multipathfinder(
         transformed_outputs,
     )
 
+    if dim is None and init is not None:
+        # honor the documented "init or dim" contract for the bijector
+        # transform= path too: the dimension is derivable from init
+        _init_arr = jnp.asarray(init)
+        if _init_arr.ndim == 2:
+            dim = int(_init_arr.shape[1])
     target_input, tld = resolve_transform(fn, transform, dim=dim)
     target = as_log_density(target_input, dim=dim, grad=grad)
 

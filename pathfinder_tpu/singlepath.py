@@ -399,6 +399,10 @@ def pathfinder(
         transformed_outputs,
     )
 
+    if dim is None and init is not None:
+        # honor the documented "init or dim" contract for the bijector
+        # transform= path too: the dimension is derivable from init
+        dim = int(jnp.asarray(init).shape[0])
     target_input, tld = resolve_transform(fn, transform, dim=dim)
     target = as_log_density(target_input, dim=dim, grad=grad)
     if ndraws is None:

@@ -260,6 +260,113 @@ def test_transform_kwarg_with_bare_bijector():
     assert abs(float(res.draws_transformed.mean()) - 3.0) < 1.0
 
 
+def test_transform_bijector_with_init_and_no_dim():
+    """The documented 'init or dim' contract holds on the bijector
+    transform= path too: dim is derivable from init (both drivers)."""
+    from pathfinder_tpu.multipath import multipathfinder
+
+    def logp_constrained(x):
+        return jnp.sum(2.0 * jnp.log(x) - x)
+
+    res = pathfinder(
+        logp_constrained,
+        key=jax.random.key(3),
+        init=jnp.zeros(3),  # unconstrained-space init; no dim=
+        transform=Stacked(((Exp(), 3),)),
+        ndraws=50,
+        maxiters=50,
+    )
+    assert res.success
+    assert np.all(np.asarray(res.draws_transformed) > 0)
+    mres = multipathfinder(
+        logp_constrained,
+        40,
+        key=jax.random.key(4),
+        init=jnp.zeros((2, 3)),
+        transform=Stacked(((Exp(), 3),)),
+        maxiters=50,
+    )
+    assert np.all(np.asarray(mres.draws_transformed) > 0)
+
+
+def test_explicit_transform_overrides_model_chain_conversion():
+    """With an explicit transform= differing from the model's own link,
+    draws_transformed must come from THAT transform (not the model's
+    draws_to_chain) so it stays consistent with
+    fit_distribution_transformed."""
+    from pathfinder_tpu.integrations.transforms import (
+        Identity,
+        transformed_outputs,
+    )
+    from pathfinder_tpu.models.bayes import BayesModel, Normal
+
+    m = BayesModel(priors={"mu": (Normal(), 2)}, loglikelihood=None)
+    # the model's OWN link: chain dict via draws_to_chain
+    res_own = pathfinder(m, key=jax.random.key(0), ndraws=10, maxiters=30)
+    assert isinstance(res_own.draws_transformed, dict)
+    # an explicit different transform: plain forward-mapped matrix, same
+    # bijector as the pushforward fit
+    other = TransformedLogDensity(
+        logp_constrained=lambda x: -0.5 * jnp.sum(x * x),
+        bijector=Stacked(((Identity(), 2),)),
+        dim=2,
+    )
+    draws = jnp.ones((2, 5))
+    draws_t, fit_t = transformed_outputs(
+        other, m, draws, res_own.fit_distribution
+    )
+    assert not isinstance(draws_t, dict)
+    np.testing.assert_array_equal(np.asarray(draws_t), np.asarray(draws))
+    assert fit_t.bijector == other.bijector
+
+
+def test_interval_swapped_bounds_raise():
+    from pathfinder_tpu.integrations.transforms import Interval
+
+    import pytest
+
+    with pytest.raises(ValueError, match="high must exceed low"):
+        Interval(2.0, 1.0)
+
+
+def test_transformed_distribution_logpdf_out_of_support():
+    """logpdf outside / at the bijector's support boundary is -inf,
+    never NaN (inf - inf at the boundary, log(negative) outside)."""
+    from pathfinder_tpu.integrations.transforms import (
+        TransformedDistribution,
+    )
+    from pathfinder_tpu.ops.mvnormal import MvNormal
+    from pathfinder_tpu.ops.woodbury import WoodburyPDMat
+
+    d = 2
+    base = MvNormal(
+        jnp.zeros(d),
+        WoodburyPDMat.from_parts(
+            jnp.ones(d), jnp.zeros((d, 2)), jnp.zeros((2, 2))
+        ),
+    )
+    td = TransformedDistribution(base, Stacked(((Exp(), d),)))
+    vals = np.asarray(
+        td.logpdf(jnp.asarray([[1.0, 0.0, -1.0], [1.0, 1.0, 1.0]]))
+    )
+    assert np.isfinite(vals[0])
+    assert vals[1] == -np.inf and vals[2] == -np.inf
+
+
+def test_uniform_array_bounds_and_dirichlet_boundary():
+    """Array-valued Uniform bounds evaluate elementwise; Dirichlet
+    log_prob stays non-NaN when f32 rounding pushes sum(x) past 1."""
+    from pathfinder_tpu.models.bayes import Dirichlet, Uniform
+
+    u = Uniform(jnp.asarray([0.0, 1.0]), jnp.asarray([1.0, 5.0]))
+    lp = np.asarray(u.log_prob(jnp.asarray([0.5, 2.0])))
+    np.testing.assert_allclose(lp, [0.0, -np.log(4.0)], rtol=1e-6)
+    d = Dirichlet([2.0, 2.0, 3.0])
+    x = jnp.asarray([0.7, 0.3 + 1e-7], jnp.float32)  # sums past 1 in f32
+    v = float(d.log_prob(x))
+    assert not np.isnan(v)  # -inf is the correct boundary limit
+
+
 def test_transformed_log_density_direct():
     """Passing a TransformedLogDensity as fn works and sets the hook."""
 

@@ -35,6 +35,17 @@ def test_draws_to_dict_with_transform():
     assert all(np.all(np.asarray(v) > 0) for v in d.values())
 
 
+def test_draws_to_dict_short_names_raise():
+    """A names list shorter than the parameter dimension must raise, not
+    silently drop the trailing parameter rows."""
+    import pytest
+
+    target = StandardNormal(3)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=10, maxiters=20)
+    with pytest.raises(ValueError, match="2 entries for 3"):
+        draws_to_dict(res, names=["a", "b"])
+
+
 def test_to_inference_data_fallback():
     res = pathfinder(StandardNormal(2), key=jax.random.key(2), ndraws=10, maxiters=20)
     out = to_inference_data(res)
