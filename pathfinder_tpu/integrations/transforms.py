@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ __all__ = [
 ]
 
 
-def resolve_transform(fn, transform, dim=None):
+def resolve_transform(fn, transform, dim=None, grad=None):
     """Resolve the (fn, transform) inputs of ``pathfinder`` /
     ``multipathfinder`` into ``(target_input, tld)`` where ``target_input``
     is what the optimizer should maximize and ``tld`` is the
@@ -49,16 +49,25 @@ def resolve_transform(fn, transform, dim=None):
     * ``fn`` IS a :class:`TransformedLogDensity`;
     * ``transform=`` is a :class:`TransformedLogDensity` (``fn`` ignored);
     * ``transform=`` is a bijector — then ``fn`` is interpreted as the
-      **constrained-space** log density and is linked here.
+      **constrained-space** log density and is linked here; ``grad=``
+      (the constrained-space gradient of ``fn``) is chain-ruled through
+      the bijector so the unconstrained optimizer never differentiates
+      the user's logp.
+
+    For model / :class:`TransformedLogDensity` inputs a supplied ``grad``
+    cannot be interpreted (which space is it in?) and is rejected loudly.
     """
     if transform is None:
         if isinstance(fn, TransformedLogDensity):
+            _reject_grad(grad, "a TransformedLogDensity input")
             return fn.unconstrained, fn
         t = getattr(fn, "transformed", None)
         if isinstance(t, TransformedLogDensity):
+            _reject_grad(grad, "a model input")
             return t.unconstrained, t
         return fn, None
     if isinstance(transform, TransformedLogDensity):
+        _reject_grad(grad, "transform=<TransformedLogDensity>")
         return transform.unconstrained, transform
     if not isinstance(transform, Bijector):
         raise TypeError(
@@ -71,11 +80,22 @@ def resolve_transform(fn, transform, dim=None):
     d = dim if dim is not None else getattr(fn, "dim", None)
     if d is None:
         raise ValueError("dim is required when transform= is a bijector")
-    tld = _cached_tld(logp_c, transform, int(d))
+    tld = _cached_tld(logp_c, transform, int(d), grad)
     return tld.unconstrained, tld
 
 
-def _cached_tld(logp_c, bijector, dim) -> "TransformedLogDensity":
+def _reject_grad(grad, what):
+    if grad is not None:
+        raise ValueError(
+            f"grad= cannot be combined with {what}: the linked "
+            "unconstrained density is built by the transform itself. Pass "
+            "grad= only with a plain callable target, or with "
+            "transform=<bijector> (where it is the constrained-space "
+            "gradient)."
+        )
+
+
+def _cached_tld(logp_c, bijector, dim, grad=None) -> "TransformedLogDensity":
     # one TLD instance per (logp, bijector, dim), cached ON the callable
     # (its instance for a bound method) so retention is bounded by the
     # target's own lifetime — a module-level lru_cache would pin up to
@@ -87,12 +107,20 @@ def _cached_tld(logp_c, bijector, dim) -> "TransformedLogDensity":
     from pathfinder_tpu.models.protocol import _callable_key
 
     owner = getattr(logp_c, "__self__", logp_c)
-    key = (_callable_key(logp_c), bijector, dim)
+    key = (
+        _callable_key(logp_c),
+        bijector,
+        dim,
+        None if grad is None else _callable_key(grad),
+    )
     cache = getattr(owner, "_pf_tld_cache", None)
     if cache is not None and cache[0] == key:
         return cache[1]
     tld = TransformedLogDensity(
-        logp_constrained=logp_c, bijector=bijector, dim=dim
+        logp_constrained=logp_c,
+        bijector=bijector,
+        dim=dim,
+        grad_constrained=grad,
     )
     try:
         owner._pf_tld_cache = (key, tld)
@@ -318,9 +346,21 @@ class TransformedLogDensity:
     logp_constrained: Callable
     bijector: Bijector
     dim: int
+    # optional constrained-space gradient of logp_constrained: when given,
+    # the unconstrained density's value_and_grad chain-rules it through
+    # the bijector (vjp of forward) instead of differentiating the user's
+    # logp — so non-autodiff-able targets (host callbacks etc.) work
+    grad_constrained: Optional[Callable] = None
 
     def __hash__(self):
-        return hash((self.logp_constrained, self.bijector, self.dim))
+        return hash(
+            (
+                self.logp_constrained,
+                self.bijector,
+                self.dim,
+                self.grad_constrained,
+            )
+        )
 
     @functools.cached_property
     def unconstrained(self) -> LogDensity:
@@ -328,11 +368,24 @@ class TransformedLogDensity:
         # pathfinder_core (LogDensity hashes by its logp callable)
         b = self.bijector
         lp = self.logp_constrained
+        gc = self.grad_constrained
 
         def logp(z):
             return lp(b.forward(z)) + jnp.sum(b.forward_log_det(z))
 
-        return LogDensity(logp=logp, dim=self.dim)
+        vg = None
+        if gc is not None:
+
+            def vg(z):
+                x, vjp_fn = jax.vjp(b.forward, z)
+                ld_val, ld_grad = jax.value_and_grad(
+                    lambda zz: jnp.sum(b.forward_log_det(zz))
+                )(z)
+                val = lp(x) + ld_val
+                g = vjp_fn(gc(x))[0] + ld_grad
+                return val, g
+
+        return LogDensity(logp=logp, dim=self.dim, value_and_grad=vg)
 
     def forward_draws(self, draws_zd: jax.Array) -> jax.Array:
         """Map draws ``(dim, ndraws)`` from unconstrained to constrained."""

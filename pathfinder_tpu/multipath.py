@@ -29,6 +29,7 @@ from pathfinder_tpu.singlepath import (
     PathfinderResult,
     SinglePathState,
     uniform_init_sampler,
+    validate_dtype,
 )
 
 __all__ = ["multipathfinder", "MultiPathfinderResult", "resample"]
@@ -264,8 +265,11 @@ def multipathfinder(
         _init_arr = jnp.asarray(init)
         if _init_arr.ndim == 2:
             dim = int(_init_arr.shape[1])
-    target_input, tld = resolve_transform(fn, transform, dim=dim)
-    target = as_log_density(target_input, dim=dim, grad=grad)
+    target_input, tld = resolve_transform(fn, transform, dim=dim, grad=grad)
+    # with a transform, grad was consumed (bijector path) or rejected
+    target = as_log_density(
+        target_input, dim=dim, grad=None if tld is not None else grad
+    )
 
     if init is not None:
         init = jnp.asarray(init)
@@ -274,8 +278,17 @@ def multipathfinder(
             init = init.astype(jnp.zeros(0).dtype)
         if init.ndim != 2:
             raise ValueError("init must have shape (nruns, dim)")
+        if nruns is not None and nruns != init.shape[0]:
+            raise ValueError(
+                f"nruns={nruns} conflicts with init's {init.shape[0]} rows"
+            )
         nruns = init.shape[0]
         d = init.shape[1]
+        if target.dim is not None and target.dim != d:
+            raise ValueError(
+                f"init rows have length {d} but the target's dimension is "
+                f"{target.dim}"
+            )
     else:
         if nruns is None or nruns <= 0:
             raise ValueError(
@@ -288,10 +301,7 @@ def multipathfinder(
         target = target.with_dim(d)
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
-    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
-        raise ValueError(
-            f"dtype must be a floating type; got {jnp.dtype(dtype).name}"
-        )
+    validate_dtype(dtype)
     sampler = init_sampler or uniform_init_sampler(init_scale)
 
     if ndraws_per_run is None:
@@ -314,12 +324,16 @@ def multipathfinder(
     K = pad_paths(nruns, mesh)
     executor = make_path_executor(mesh)
 
-    def path_keys(round_idx: int):
+    def path_keys(path_ids, round_idx: int):
+        # THE key-derivation rule: fold (path id, round) into the master
+        # key. Round 0 and the retry rounds both call this (the
+        # determinism contract "keys depend only on (path id, round)"
+        # must have one source of truth).
         return jax.vmap(
             lambda i: jax.random.fold_in(
                 jax.random.fold_in(key, i), round_idx
             )
-        )(jnp.arange(K))
+        )(path_ids)
 
     def path_inits(keys, round_idx: int):
         if init is not None and round_idx == 0:
@@ -340,7 +354,7 @@ def multipathfinder(
     # batches are compacted to the failed lanes, padded to a power of two so
     # at most log2(K) retry shapes ever compile; keys depend only on
     # (path id, round), so results are independent of batch layout.
-    keys0 = path_keys(0)
+    keys0 = path_keys(jnp.arange(K), 0)
     states = executor(keys0, path_inits(keys0, 0), target, config)
     num_tries = np.ones(K, dtype=np.int64)
     # retries reuse the sharded executor: failed lanes are compacted, then
@@ -364,12 +378,8 @@ def multipathfinder(
         B = pad_paths(B, mesh)
         pad_idx = np.concatenate([fidx, np.full(B - len(fidx), fidx[0])])
         sel = jnp.asarray(pad_idx)
-        keys_r = jax.vmap(
-            lambda i: jax.random.fold_in(jax.random.fold_in(key, i), rounds)
-        )(sel)
-        x0s_r = jax.vmap(lambda k: sampler(jax.random.fold_in(k, 1), d, dtype))(
-            keys_r
-        )
+        keys_r = path_keys(sel, rounds)
+        x0s_r = path_inits(keys_r, rounds)
         retry = executor(keys_r, x0s_r, target, config)
         retry = jax.tree_util.tree_map(lambda leaf: leaf[: len(fidx)], retry)
 
@@ -514,4 +524,8 @@ def resample(
         # weights and draws
         draws_per_component=draws_knd,
         importance_denominator=effective_denom,
+        # advance the stored key: a chained default-key resample must get
+        # fresh randomness (the reference's RNG state advances per call),
+        # not replay fold_in(same key, 0x7E5A) and return identical draws
+        key=jax.random.fold_in(key, 0x5EED),
     )

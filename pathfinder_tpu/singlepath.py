@@ -99,14 +99,30 @@ class PathfinderConfig(NamedTuple):
     progress_every: int = 0
 
 
+def validate_dtype(dtype) -> None:
+    """Shared driver-input dtype check: floating only, and warn below 32
+    bits — measured on TPU v5e (d=1000, 100 paths): bf16 state makes the
+    curvature pairs s=x_{l+1}-x_l cancel to noise — 0/100 paths succeed
+    vs 100/100 in f32. Compute stays f32-dominant anyway."""
+    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+        raise ValueError(
+            f"dtype must be a floating type; got {jnp.dtype(dtype).name}"
+        )
+    if jnp.finfo(dtype).bits < 32:
+        warnings.warn(
+            f"dtype={jnp.dtype(dtype).name} optimization state is almost "
+            "always numerically unusable for L-BFGS (curvature pairs lose "
+            "all significance); use float32."
+        )
+
+
 class SinglePathState(NamedTuple):
     """Everything the jitted core computes for one path — a pure pytree, so
     it can flow through ``vmap``/``shard_map`` in multipath unchanged."""
 
     success: jax.Array  # () bool
     key: jax.Array  # the per-try PRNG key (replays all randomness)
-    trace: OptimizationTrace
-    point_mask: jax.Array  # (maxiters+1,)
+    trace: OptimizationTrace  # (trace.point_mask marks the valid points)
     fit_iteration: jax.Array  # () int, 1-based trajectory iteration
     elbo_values: jax.Array  # (maxiters,) per-candidate ELBO (NaN = invalid)
     elbo_se: jax.Array  # (maxiters,)
@@ -139,6 +155,12 @@ def pathfinder_core(
     cfg = config
     key_elbo, key_extra = jax.random.split(key)
 
+    if cfg.maxiters < 1:
+        raise ValueError(f"maxiters must be >= 1, got {cfg.maxiters}")
+    if cfg.elbo_chunk < 1:
+        # a zero/negative chunk would surface as a raw ZeroDivisionError /
+        # negative-shape error from inside the trace
+        raise ValueError(f"elbo_chunk must be >= 1, got {cfg.elbo_chunk}")
     if cfg.optimizer == "lbfgs":
         minimize = minimize_lbfgs_trace
     elif cfg.optimizer == "cg":
@@ -217,7 +239,6 @@ def pathfinder_core(
         success=success,
         key=key,
         trace=trace,
-        point_mask=aux.point_mask,
         fit_iteration=fit_iteration,
         elbo_values=elbo_values,
         elbo_se=elbo_se,
@@ -403,8 +424,11 @@ def pathfinder(
         # honor the documented "init or dim" contract for the bijector
         # transform= path too: the dimension is derivable from init
         dim = int(jnp.asarray(init).shape[0])
-    target_input, tld = resolve_transform(fn, transform, dim=dim)
-    target = as_log_density(target_input, dim=dim, grad=grad)
+    target_input, tld = resolve_transform(fn, transform, dim=dim, grad=grad)
+    # with a transform, grad was consumed (bijector path) or rejected
+    target = as_log_density(
+        target_input, dim=dim, grad=None if tld is not None else grad
+    )
     if ndraws is None:
         ndraws = ndraws_elbo
     if init is not None:
@@ -415,6 +439,13 @@ def pathfinder(
         if dtype is not None:
             init = init.astype(dtype)
         d = init.shape[0]
+        if target.dim is not None and target.dim != d:
+            # silently keeping the conflict would run the whole pipeline
+            # in init's dimension against a target declared differently
+            raise ValueError(
+                f"init has length {d} but the target's dimension is "
+                f"{target.dim}"
+            )
     else:
         d = target.dim
         if d is None:
@@ -423,19 +454,7 @@ def pathfinder(
         target = target.with_dim(d)
     if dtype is None:
         dtype = init.dtype if init is not None else jnp.zeros(0).dtype
-    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
-        raise ValueError(
-            f"dtype must be a floating type; got {jnp.dtype(dtype).name}"
-        )
-    if jnp.finfo(dtype).bits < 32:
-        # measured on TPU v5e (d=1000, 100 paths): bf16 state makes the
-        # curvature pairs s=x_{l+1}-x_l cancel to noise — 0/100 paths
-        # succeed vs 100/100 in f32. Compute stays f32-dominant anyway.
-        warnings.warn(
-            f"dtype={jnp.dtype(dtype).name} optimization state is almost "
-            "always numerically unusable for L-BFGS (curvature pairs lose "
-            "all significance); use float32."
-        )
+    validate_dtype(dtype)
     sampler = init_sampler or uniform_init_sampler(init_scale)
 
     config = PathfinderConfig(
@@ -483,7 +502,8 @@ def pathfinder(
         )
     nrej = int(state.num_bfgs_updates_rejected)
     if nrej > 0:
-        total = int(state.trace.num_valid)
+        # updates happen per STEP: a trajectory of n points has n-1 of them
+        total = int(state.trace.num_valid) - 1
         perc = round(nrej * 100.0 / max(total, 1), 1)
         warnings.warn(
             f"{nrej} ({perc}%) updates to the inverse Hessian estimate were "

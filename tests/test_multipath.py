@@ -6,6 +6,8 @@ the shard_map analog of the reference's ntasks-independence contract
 (``:107-140``) — and the ``resample`` behavior matrix (``:142-232``).
 """
 
+import warnings
+
 import numpy as np
 import pytest
 import jax
@@ -261,6 +263,53 @@ def test_explicit_init_matrix():
     )
     assert res.nruns == 5
     assert res.draws.shape == (3, 50)
+
+
+def test_input_validation_conflicts():
+    """Conflicting inputs error loudly instead of silently picking one:
+    nruns vs init rows, init width vs target dim, bad elbo_chunk; and
+    sub-32-bit dtype warns (the measured 0/100-success diagnosis) in
+    multipath like it does in singlepath."""
+    target = StandardNormal(3)
+    with pytest.raises(ValueError, match="conflicts with init"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=4,
+            init=jnp.zeros((5, 3)), maxiters=10,
+        )
+    with pytest.raises(ValueError, match="target's dimension is 3"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), init=jnp.zeros((2, 4)),
+            maxiters=10,
+        )
+    with pytest.raises(ValueError, match="elbo_chunk"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            elbo_chunk=0,
+        )
+    with pytest.warns(UserWarning, match="numerically unusable"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("always")
+            try:
+                multipathfinder(
+                    target, 4, key=jax.random.key(0), nruns=2, maxiters=3,
+                    ntries=1, dtype=jnp.bfloat16,
+                )
+            except Exception:
+                pass  # bf16 runs may fail; the warning is the contract
+
+
+def test_chained_resample_gets_fresh_randomness():
+    """resample(resample(r)) with default keys must not replay identical
+    draws — the stored key advances per call (the reference's RNG state
+    advances)."""
+    res, _ = run_multi(key=21, nruns=4, ndraws=200, ndraws_per_run=100)
+    r2 = resample(res, 100)
+    r3 = resample(r2, 100)
+    assert not np.array_equal(np.asarray(r2.draws), np.asarray(r3.draws))
+    # still deterministic end-to-end: the chain replays exactly
+    r2b = resample(res, 100)
+    r3b = resample(r2b, 100)
+    np.testing.assert_array_equal(np.asarray(r3.draws), np.asarray(r3b.draws))
 
 
 class TestResample:

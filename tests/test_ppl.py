@@ -320,6 +320,42 @@ def test_explicit_transform_overrides_model_chain_conversion():
     assert fit_t.bijector == other.bijector
 
 
+def test_grad_kwarg_chain_rules_through_bijector():
+    """pathfinder(fn_constrained, grad=..., transform=bijector) must USE
+    the supplied constrained-space gradient (chain-ruled through the
+    bijector), never autodiff the user's logp. The target's value path
+    blocks autodiff with stop_gradient, so only the analytic grad can
+    drive the optimizer."""
+    import pytest
+
+    def logp_c(x):  # Gamma(3,1)-ish; autodiff sees a constant
+        return jax.lax.stop_gradient(jnp.sum(2.0 * jnp.log(x) - x))
+
+    def grad_c(x):
+        return 2.0 / x - 1.0
+
+    res = pathfinder(
+        logp_c,
+        key=jax.random.key(5),
+        dim=3,
+        grad=grad_c,
+        transform=Stacked(((Exp(), 3),)),
+        ndraws=100,
+        maxiters=60,
+    )
+    assert res.success
+    # converged toward mean 3 of Gamma(3,1) — impossible with the zero
+    # autodiff gradient of the stop_gradient'd value
+    assert abs(float(res.draws_transformed.mean()) - 3.0) < 1.0
+
+    # model / TLD inputs reject grad= loudly (which space would it be in?)
+    from pathfinder_tpu.models.bayes import BayesModel, Normal
+
+    m = BayesModel(priors={"mu": (Normal(), 2)}, loglikelihood=None)
+    with pytest.raises(ValueError, match="grad= cannot be combined"):
+        pathfinder(m, key=jax.random.key(0), grad=lambda x: -x)
+
+
 def test_interval_swapped_bounds_raise():
     from pathfinder_tpu.integrations.transforms import Interval
 

@@ -133,6 +133,12 @@ def test_explicit_init_used():
     res = pathfinder(target, key=jax.random.key(6), init=init, maxiters=30)
     np.testing.assert_allclose(res.optim_trace.xs[0], init)
     assert res.success
+    # a wrong-length init against a dimension-declaring target errors
+    # loudly instead of silently running in init's dimension
+    import pytest
+
+    with pytest.raises(ValueError, match="target's dimension is 4"):
+        pathfinder(target, key=jax.random.key(6), init=jnp.zeros(3))
 
 
 def test_custom_init_sampler_plumbing():
