@@ -18,7 +18,6 @@ and vmaps over chains.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
@@ -76,17 +75,27 @@ class WoodburyMetric:
         """Pure-diagonal metric ``M⁻¹ = diag(inv_mass_diag)`` as a degenerate
         Woodbury matrix (``rank`` zero-masked low-rank columns, so the pytree
         structure matches fits of history length ``rank/2`` — required when a
-        diagonal update must replace a low-rank metric inside ``lax.scan``)."""
+        diagonal update must replace a low-rank metric inside ``lax.scan``).
+
+        The factorization is written in closed form (``a_half = sqrt(diag)``,
+        zero low-rank cores) instead of calling ``pdfactorize`` — windowed
+        adaptation constructs this every warmup step inside the scan, and
+        the general path's rank-by-rank Cholesky work is pure waste for an
+        all-masked B."""
+        from pathfinder_tpu.ops.woodbury import WoodburyFactor
+
         d = inv_mass_diag.shape[0]
         dtype = inv_mass_diag.dtype
-        return WoodburyMetric(
-            WoodburyPDMat.from_parts(
-                inv_mass_diag,
-                jnp.zeros((d, rank), dtype),
-                jnp.zeros((rank, rank), dtype),
-                col_mask=jnp.zeros((rank,), dtype),
-            )
+        Z = jnp.zeros((d, rank), dtype)
+        Zm = jnp.zeros((rank, rank), dtype)
+        F = WoodburyFactor(
+            a_half=jnp.sqrt(inv_mass_diag),
+            X=Z,
+            C=Zm,
+            Ci=Zm,
+            log_det=jnp.sum(jnp.log(inv_mass_diag)),
         )
+        return WoodburyMetric(WoodburyPDMat(inv_mass_diag, Z, Zm, F))
 
     @staticmethod
     def from_result(result, draw_index: int = 0) -> "WoodburyMetric":
@@ -155,9 +164,14 @@ class WoodburyMetric:
             return self.kinetic_energy(momentum)
 
         def check_turning(p_left, p_right, p_sum):
-            # generalized U-turn criterion with rho = p_sum (Betancourt):
-            # turning when ⟨M⁻¹ρ, p⟩ ≤ 0 on either end — in low-rank form
-            rho = p_sum
+            # BlackJAX's convention (gaussian_euclidean.is_turning):
+            # rho = p_sum − (p_left + p_right)/2, turning when
+            # ⟨M⁻¹p_end, ρ⟩ ≤ 0 on either end. Matching it exactly keeps
+            # this Metric a drop-in for blackjax kernels — the raw-ρ Stan
+            # variant would terminate trees at different depths than every
+            # blackjax-built metric. One matvec: M⁻¹ρ dotted with each
+            # endpoint is the same bilinear form (M⁻¹ symmetric).
+            rho = p_sum - 0.5 * (p_left + p_right)
             minv_rho = self.minv.mul(rho)
             return (jnp.vdot(minv_rho, p_left) <= 0) | (
                 jnp.vdot(minv_rho, p_right) <= 0
@@ -202,6 +216,11 @@ def leapfrog(value_and_grad: Callable, metric: WoodburyMetric, x, p, grad_x, eps
 
     ``value_and_grad(x) -> (logp, ∇logp)``; potential U = −logp.
     """
+
+    if n_steps < 1:
+        # a zero-length scan would make logps[-1] an out-of-bounds gather
+        # on an empty axis — undefined values under jit, not an error
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
 
     def step(carry, _):
         x, p, g = carry

@@ -158,11 +158,10 @@ def _build_subtree(
         # ~2 on average (trailing_ones averages 1), with the loop-invariant
         # M⁻¹·p_end matvec hoisted out.
         idx_max = _popcount(n >> 1)
-        trailing_ones = jax.lax.while_loop(
-            lambda tc: (tc[0] & 1) == 1,
-            lambda tc: (tc[0] >> 1, tc[1] + 1),
-            (n, jnp.asarray(0, jnp.int32)),
-        )[1]
+        # trailing ones of n = the bits where n is 1 and n+1 is 0 —
+        # one fused popcount instead of a data-dependent while_loop in
+        # the hottest (per-leaf, vmapped) loop of the sampler
+        trailing_ones = _popcount(n & ~(n + 1))
         idx_min = idx_max - trailing_ones + 1
 
         v_end = metric.grad_kinetic(p_true)
@@ -299,7 +298,7 @@ class NUTSResult(NamedTuple):
     tree_depths: jax.Array  # (num_samples,)
     diverging: jax.Array  # (num_samples,) bool
     step_size: jax.Array  # ()
-    # () adapted diagonal M⁻¹ when adapt_mass_matrix=True, else None
+    # (d,) adapted diagonal M⁻¹ when adapt_mass_matrix=True, else None
     inv_mass_diag: Optional[jax.Array] = None
 
 
@@ -496,12 +495,21 @@ def nuts(
 
     keys_s = jax.random.split(jax.random.fold_in(key, 1), num_samples)
     _, (xs, lps, astats, depths, divs) = lax.scan(sample_step, (x, logp, g), keys_s)
+    # A non-finite starting logp (x0 outside the support, or a NaN
+    # gradient) makes every reservoir weight infinite and the chain would
+    # silently return num_samples copies of x0 with healthy-looking
+    # accept_stat=1 diagnostics. Stan validates the initial energy and
+    # aborts; inside jit we cannot raise on a traced value, so the outputs
+    # are NaN-poisoned to make the failure visible (the host-level entry
+    # points validate and raise before reaching this).
+    ok0 = jnp.isfinite(logp0) & jnp.all(jnp.isfinite(g0))
+    nanlike = lambda a: jnp.where(ok0, a, jnp.nan)
     return NUTSResult(
-        samples=xs,
-        log_densities=lps,
-        accept_stat=astats,
+        samples=nanlike(xs),
+        log_densities=nanlike(lps),
+        accept_stat=jnp.where(ok0, astats, 0.0),
         tree_depths=depths,
-        diverging=divs,
+        diverging=divs | ~ok0,
         step_size=eps_final,
         inv_mass_diag=inv_mass_diag,
     )
@@ -527,7 +535,8 @@ def nuts_chains(
     axis over devices (one independent group of chains per chip — the
     serving-scale layout; chains are independent, so XLA partitions the
     whole sampler with no cross-device collectives). ``C`` must be
-    divisible by the mesh size. Per-chain keys are split from ``key``
+    divisible by the first mesh axis's size (the chain axis shards over
+    that axis only). Per-chain keys are split from ``key``
     before placement, so every random decision replays identically; the
     floating-point trajectories themselves may differ from the unsharded
     run at the last ulp (per-device batch width changes XLA's
@@ -542,17 +551,34 @@ def nuts_chains(
     from pathfinder_tpu.utils.diagnostics import summarize
 
     C = x0s.shape[0]
+    # Stan-style initial-energy validation at the host boundary: a chain
+    # started at non-finite logp/grad would silently NaN-poison (see the
+    # note in nuts()); one batched eval per chain is negligible here.
+    lp0, g0 = jax.vmap(value_and_grad)(x0s)
+    bad = ~(
+        jnp.isfinite(lp0) & jnp.all(jnp.isfinite(g0), axis=1)
+    )
+    if bool(bad.any()):
+        import numpy as _np
+
+        raise ValueError(
+            f"chains {_np.nonzero(_np.asarray(bad))[0].tolist()} start at "
+            "non-finite log density or gradient; choose in-support x0s"
+        )
     keys = jax.random.split(key, C)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        n_dev = mesh.devices.size
+        axis = mesh.axis_names[0]
+        # the chain axis shards over the FIRST mesh axis only — validate
+        # against that axis's size, not the total device count (a 2-D
+        # mesh's second axis replicates)
+        n_dev = int(mesh.shape[axis])
         if C % n_dev != 0:
             raise ValueError(
-                f"{C} chains are not divisible over the {n_dev}-device "
-                "mesh; pad x0s or change the chain count."
+                f"{C} chains are not divisible over the {n_dev}-wide "
+                f"'{axis}' mesh axis; pad x0s or change the chain count."
             )
-        axis = mesh.axis_names[0]
         spec = NamedSharding(mesh, PartitionSpec(axis))
         keys = jax.device_put(keys, spec)
         x0s = jax.device_put(x0s, spec)

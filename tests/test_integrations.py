@@ -146,18 +146,36 @@ def test_to_blackjax_contract_with_mock(monkeypatch):
         rtol=1e-6,
     )
 
-    # (d) U-turn criterion against the dense formula on random triples
+    # (d) U-turn criterion against the dense formula on random triples —
+    # BlackJAX's convention: rho = p_sum − (p_left + p_right)/2 (its
+    # gaussian_euclidean.is_turning), so the Metric is a drop-in for
+    # blackjax kernels (trees terminate at the same depths as any
+    # blackjax-built metric)
     for i in range(20):
         pl = rng.standard_normal(6)
         pr = rng.standard_normal(6)
-        rho = pl + pr + rng.standard_normal(6)
+        p_sum = pl + pr + rng.standard_normal(6)
+        rho = p_sum - 0.5 * (pl + pr)
         expected = (rho @ W_dense @ pl <= 0) or (rho @ W_dense @ pr <= 0)
         got = bool(
             bj.check_turning(
-                jnp.asarray(pl), jnp.asarray(pr), jnp.asarray(rho)
+                jnp.asarray(pl), jnp.asarray(pr), jnp.asarray(p_sum)
             )
         )
         assert got == expected, i
+
+
+def test_leapfrog_zero_steps_raises():
+    """n_steps=0 would gather from an empty scan output (undefined under
+    jit); it must raise instead."""
+    import pytest
+
+    target = StandardNormal(3)
+    metric, _ = make_metric(np.random.default_rng(1), n=3, m=2)
+    x = jnp.zeros(3)
+    _, g = target.value_and_grad(x)
+    with pytest.raises(ValueError, match="n_steps must be >= 1"):
+        leapfrog(target.value_and_grad, metric, x, jnp.ones(3), g, 0.1, 0)
 
 
 def test_leapfrog_energy_conservation():

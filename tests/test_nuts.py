@@ -216,6 +216,74 @@ def test_nuts_chains_with_summary():
     )
 
 
+def test_nuts_nonfinite_start_is_visible_not_stuck():
+    """A chain started outside the support (logp = -inf) must NOT return
+    num_samples copies of x0 with healthy-looking accept_stat=1; the
+    outputs are NaN-poisoned (Stan aborts on non-finite initial energy)
+    and nuts_chains raises at the host boundary."""
+    from pathfinder_tpu.integrations.nuts import nuts, nuts_chains
+
+    def logp(x):
+        return jnp.where(
+            jnp.all(x > 0), -0.5 * jnp.sum(x * x), -jnp.inf
+        )
+
+    vg = jax.value_and_grad(logp)
+    out = nuts(
+        jax.random.key(0), vg, None, jnp.full(3, -1.0),
+        num_samples=20, num_warmup=10,
+    )
+    assert np.isnan(np.asarray(out.samples)).all()
+    assert np.all(np.asarray(out.accept_stat) == 0.0)
+    assert np.all(np.asarray(out.diverging))
+    # in-support start still works
+    ok = nuts(
+        jax.random.key(0), vg, None, jnp.full(3, 1.0),
+        num_samples=20, num_warmup=10,
+    )
+    assert np.isfinite(np.asarray(ok.samples)).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="chains \\[1\\] start at"):
+        nuts_chains(
+            jax.random.key(1), vg, None,
+            jnp.stack([jnp.full(3, 1.0), jnp.full(3, -1.0)]),
+            num_samples=10, num_warmup=5,
+        )
+
+
+def test_diag_metric_closed_form_matches_factorized():
+    """WoodburyMetric.diag's closed-form factor is equivalent to the
+    general pdfactorize path (which it replaced in the warmup scan)."""
+    from pathfinder_tpu.ops.woodbury import WoodburyPDMat
+
+    rng = np.random.default_rng(4)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 6))
+    m_closed = WoodburyMetric.diag(var, rank=4)
+    w_general = WoodburyPDMat.from_parts(
+        var, jnp.zeros((6, 4)), jnp.zeros((4, 4)),
+        col_mask=jnp.zeros((4,)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_closed.minv.to_dense()),
+        np.asarray(w_general.to_dense()),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(m_closed.minv.logdet()), float(w_general.logdet()), rtol=1e-6
+    )
+    p = jnp.asarray(rng.standard_normal(6))
+    np.testing.assert_allclose(
+        float(m_closed.kinetic_energy(p)),
+        0.5 * float(p @ w_general.to_dense() @ p),
+        rtol=1e-5,
+    )
+    # same pytree structure (required for the in-scan metric swap)
+    t1 = jax.tree_util.tree_structure(m_closed.minv)
+    t2 = jax.tree_util.tree_structure(w_general)
+    assert t1 == t2
+
+
 # ---------------------------------------------------------------------------
 # Truth-anchored referee validation (VERDICT r02 task 4): the in-repo NUTS
 # vs machine-precision ground truth, breaking the end-to-end circularity
@@ -348,3 +416,15 @@ def test_nuts_chains_sharded_matches_unsharded():
             jax.random.key(0), target_vg, identity_metric(d), x0s[:5],
             mesh=mesh, **kw
         )
+    # 2-D mesh: the chain axis shards over the FIRST axis only, so the
+    # divisibility check uses that axis's width (4), not the total (8)
+    from jax.sharding import Mesh
+
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("c", "other")
+    )
+    out_2d, _ = nuts_chains(
+        jax.random.key(0), target_vg, identity_metric(d), x0s[:4],
+        mesh=mesh2d, num_samples=20, num_warmup=10, max_depth=4,
+    )
+    assert np.isfinite(np.asarray(out_2d.samples)).all()
