@@ -38,12 +38,9 @@ from pathfinder_tpu.ops.lbfgs import (
     should_abort_nonfinite,
 )
 from pathfinder_tpu.ops.linesearch import (
-    resolve_c1,
-    backtracking_line_search,
-    hager_zhang_line_search,
     initial_step_size,
-    more_thuente_line_search,
-    wolfe_line_search,
+    resolve_c1,
+    resolve_line_search,
 )
 
 __all__ = ["minimize_bfgs_trace"]
@@ -95,16 +92,7 @@ def minimize_bfgs_trace(
     gtol_user = float(gtol)
     eps_curv = float(epsilon_curvature)
     ftol_rel = float(ftol) * float(jnp.finfo(dtype).eps) if ftol > 0 else 0.0
-    if line_search == "hager_zhang":
-        ls_fn = hager_zhang_line_search
-    elif line_search == "more_thuente":
-        ls_fn = more_thuente_line_search
-    elif line_search == "wolfe":
-        ls_fn = wolfe_line_search
-    elif line_search == "backtracking":
-        ls_fn = backtracking_line_search
-    else:
-        raise ValueError(f"unknown line_search {line_search!r}")
+    ls_fn = resolve_line_search(line_search)
     c1 = resolve_c1(c1, line_search)
 
     def neg_vg(x):
@@ -143,11 +131,15 @@ def minimize_bfgs_trace(
         direction = -(s.H @ s.g)
         dphi0 = jnp.vdot(s.g, direction)
         # rounding can cost H positive-definiteness: restart with steepest
-        # descent from a fresh identity estimate
+        # descent from a fresh identity estimate, and reset the update
+        # counter so the next accepted pair re-applies the eq. 6.20 scale
+        # (an unscaled identity after a restart would make the natural
+        # unit step orders of magnitude off on badly scaled targets)
         bad_dir = ~(dphi0 < 0)
         direction = jnp.where(bad_dir, -s.g, direction)
         dphi0 = jnp.where(bad_dir, -jnp.vdot(s.g, s.g), dphi0)
         H = jnp.where(bad_dir, eye, s.H)
+        n_upd = jnp.where(bad_dir, 0, s.n_updates)
 
         # first iteration: shared step heuristic; afterwards the BFGS
         # natural step alpha0 = 1 (the scaling that makes the unit step
@@ -171,17 +163,22 @@ def minimize_bfgs_trace(
         nexh = s.nexh + jnp.where(progress & ls.exhausted, 1, 0)
 
         # curvature-guarded BFGS update (N&W eq. 6.17); the guard is the
-        # same `s·y > eps*|y|^2` rule as the L-BFGS history
-        # (src/inverse_hessian.jl:47), and rejections are counted
+        # LITERAL `s·y > eps*|y|^2` rule of the L-BFGS history
+        # (src/inverse_hessian.jl:47; ops/lbfgs.py applies the same), so
+        # the driver's rejection count agrees with the fit stage's
+        # re-derived aux.num_rejected on the same trajectory. The rule is
+        # NaN/inf-safe as-is: sy=NaN compares False, and sy=+inf forces
+        # yy=+inf (inf > inf is False).
         sv = x_new - s.x
         yv = g_new - s.g
         sy = jnp.vdot(sv, yv)
         yy = jnp.vdot(yv, yv)
-        accept = progress & (sy > eps_curv * yy) & jnp.isfinite(sy)
-        # N&W eq. 6.20: rescale the very first H to (s·y / y·y) I before
-        # updating, so the estimate starts at the right scale
+        accept = progress & (sy > eps_curv * yy)
+        # N&W eq. 6.20: rescale the first H (after init or a restart) to
+        # (s·y / y·y) I before updating, so the estimate starts at the
+        # right scale
         gamma = jnp.where(yy > 0, sy / yy, 1.0).astype(dtype)
-        H_base = jnp.where(accept & (s.n_updates == 0), gamma * eye, H)
+        H_base = jnp.where(accept & (n_upd == 0), gamma * eye, H)
         rho = jnp.where(sy > 0, 1.0 / sy, 0.0).astype(dtype)
         Hy = H_base @ yv
         yHy = jnp.vdot(yv, Hy)
@@ -224,7 +221,7 @@ def minimize_bfgs_trace(
             f=jnp.where(progress, f_new, s.f),
             g=jnp.where(progress, g_new, s.g),
             H=jnp.where(progress, H_new, s.H),
-            n_updates=s.n_updates + jnp.where(accept, 1, 0),
+            n_updates=n_upd + jnp.where(accept, 1, 0),
             nev=nev,
             nrej=nrej,
             nexh=nexh,

@@ -31,12 +31,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from pathfinder_tpu.ops.linesearch import (
-    resolve_c1,
-    backtracking_line_search,
-    hager_zhang_line_search,
     initial_step_size,
-    more_thuente_line_search,
-    wolfe_line_search,
+    resolve_c1,
+    resolve_line_search,
 )
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 
@@ -246,16 +243,7 @@ def minimize_lbfgs_trace(
     # such trajectories run to maxiters doing no useful work (measured 41%
     # of d=1000 bench paths). ftol is in ulp units; <= 0 disables.
     ftol_rel = float(ftol) * float(jnp.finfo(dtype).eps) if ftol > 0 else 0.0
-    if line_search == "hager_zhang":
-        ls_fn = hager_zhang_line_search
-    elif line_search == "more_thuente":
-        ls_fn = more_thuente_line_search
-    elif line_search == "wolfe":
-        ls_fn = wolfe_line_search
-    elif line_search == "backtracking":
-        ls_fn = backtracking_line_search
-    else:
-        raise ValueError(f"unknown line_search {line_search!r}")
+    ls_fn = resolve_line_search(line_search)
     c1 = resolve_c1(c1, line_search)
 
     def neg_vg(x):

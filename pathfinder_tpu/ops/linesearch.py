@@ -31,7 +31,24 @@ __all__ = [
     "backtracking_line_search",
     "LineSearchResult",
     "initial_step_size",
+    "resolve_line_search",
 ]
+
+
+def resolve_line_search(name: str):
+    """The shared name → search-function dispatch of the three trajectory
+    drivers (lbfgs / cg / bfgs). Their stopping/abort semantics are
+    documented-identical; one mapping keeps the option set from drifting
+    between copies."""
+    table = {
+        "hager_zhang": hager_zhang_line_search,
+        "more_thuente": more_thuente_line_search,
+        "wolfe": wolfe_line_search,
+        "backtracking": backtracking_line_search,
+    }
+    if name not in table:
+        raise ValueError(f"unknown line_search {name!r}")
+    return table[name]
 
 # stages of the state machine
 _BRACKET = 0
@@ -819,7 +836,19 @@ def wolfe_line_search(
         return jnp.abs(dphi_a) <= -c2 * dphi0
 
     def cond(s: _State):
-        return (s.stage != _DONE) & (s.nev < max_evals)
+        # zoom interval-collapse exit (the Moré-Thuente cond has the
+        # analogous |sty-stx| check): once [lo, hi] degenerates to fp
+        # resolution the clipped cubic re-evaluates the same point, so
+        # every remaining budget eval would be a full wasted
+        # value_and_grad at an identical alpha. Threshold is dtype-aware
+        # (a few ulps): an absolute 1e-12 would never fire in f32, where
+        # a one-ulp interval is ~1e-7 relative.
+        collapsed = (s.stage == _ZOOM) & (
+            jnp.abs(s.a_hi - s.a_lo)
+            <= 4 * jnp.finfo(dtype).eps
+            * jnp.maximum(jnp.abs(s.a_lo), jnp.abs(s.a_hi))
+        )
+        return (s.stage != _DONE) & (s.nev < max_evals) & ~collapsed
 
     def body(s: _State) -> _State:
         # One flag-driven pass instead of lax.switch over whole-state
@@ -922,7 +951,7 @@ def wolfe_line_search(
             dphi_hi=dphi_hi,
             a_acc=jnp.where(accept, a, s.a_acc),
             phi_acc=jnp.where(accept, phi_a, s.phi_acc),
-            g_acc=jnp.where(accept[None] if accept.ndim else accept, g_a, s.g_acc),
+            g_acc=jnp.where(accept, g_a, s.g_acc),
             accepted=s.accepted | accept,
         )
 

@@ -295,6 +295,31 @@ def test_wolfe_line_search_conditions():
     assert abs(float(ga @ p)) <= -0.9 * dphi0 + 1e-12
 
 
+def test_wolfe_zoom_exits_on_interval_collapse():
+    """When the curvature condition is unsatisfiable (kinked objective:
+    |phi'| = 1 > c2 everywhere), the zoom interval collapses to fp
+    resolution; the search must exit early via the collapse check and
+    fall back to the best sufficient-decrease point instead of burning
+    the whole budget re-evaluating one alpha."""
+    calls = [0]
+
+    def vg(x):
+        calls[0] += 1
+        a = x[0]
+        return jnp.abs(a - 0.5), jnp.asarray([jnp.sign(a - 0.5)])
+
+    x0 = jnp.zeros(1, jnp.float32)
+    f0 = jnp.asarray(0.5, jnp.float32)
+    g0 = jnp.asarray([-1.0], jnp.float32)
+    res = wolfe_line_search(
+        vg, x0, f0, g0, jnp.ones(1, jnp.float32),
+        jnp.asarray(0.1, jnp.float32), max_evals=30,
+    )
+    assert bool(res.ok)
+    assert int(res.num_evals) < 30  # exited early, budget not exhausted
+    assert abs(float(res.step_size) - 0.5) < 1e-5  # at the kink minimum
+
+
 def test_wolfe_zoom_keeps_consistent_interval_through_nan_pocket():
     """A non-finite zoom trial is recorded as a φ=+inf endpoint (interval
     stays self-consistent; regression: a_hi moved while phi_hi/dphi_hi kept
