@@ -31,9 +31,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pathfinder_tpu.singlepath import pathfinder_core
 
-__all__ = ["paths_mesh", "make_path_executor", "pad_paths"]
+__all__ = [
+    "paths_mesh",
+    "paths_dim_mesh",
+    "make_path_executor",
+    "pad_paths",
+]
 
 PATHS_AXIS = "paths"
+DIM_AXIS = "dim"  # must match parallel.dim_sharding.DIM_AXIS
 
 
 def paths_mesh(devices=None) -> Mesh:
@@ -43,11 +49,33 @@ def paths_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (PATHS_AXIS,))
 
 
+def paths_dim_mesh(n_paths_axis: int, devices=None) -> Mesh:
+    """A 2-D ``('paths', 'dim')`` mesh: the combined SPMD layout of SURVEY
+    §2c — paths sharded over one axis (zero cross-device communication per
+    path) AND the parameter dimension over the other (for ``d`` too large
+    for one chip's share of the batch). Pass to ``multipathfinder(mesh=…)``;
+    the executor routes it through GSPMD sharding annotations instead of
+    ``shard_map`` (the scaling-book recipe: annotate, let XLA insert the
+    m-length reduction collectives along the dim axis)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if devices.size % n_paths_axis != 0:
+        raise ValueError(
+            f"{devices.size} devices do not factor into a "
+            f"({n_paths_axis}, ·) paths×dim mesh"
+        )
+    return Mesh(
+        devices.reshape(n_paths_axis, -1), (PATHS_AXIS, DIM_AXIS)
+    )
+
+
 def pad_paths(n: int, mesh: Optional[Mesh]) -> int:
-    """Smallest K' ≥ n divisible by the mesh size (1 when unsharded)."""
+    """Smallest K' ≥ n divisible by the mesh's ``paths`` axis (1 when
+    unsharded)."""
     if mesh is None:
         return n
-    size = mesh.devices.size
+    size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
     return ((n + size - 1) // size) * size
 
 
@@ -66,6 +94,34 @@ def make_path_executor(mesh: Optional[Mesh] = None):
 
     if mesh is None:
         return batched
+
+    if DIM_AXIS in mesh.axis_names:
+        # combined paths×dim layout (paths_dim_mesh): GSPMD, not
+        # shard_map — the output pytree mixes leaves with the d axis in
+        # different positions (x0s (K,d), traces (K,L+1,d), draws
+        # (K,d,N)), which per-leaf out_specs would have to enumerate;
+        # input sharding annotations instead let XLA place every
+        # intermediate and insert the dim-axis reduction collectives.
+        from jax.sharding import NamedSharding
+
+        dim_width = dict(mesh.shape)[DIM_AXIS]
+
+        def gspmd(keys, x0s, target, config):
+            d = x0s.shape[1]
+            if d % dim_width != 0:
+                raise ValueError(
+                    f"parameter dimension {d} is not divisible by the "
+                    f"{dim_width}-wide '{DIM_AXIS}' mesh axis"
+                )
+            keys_s = jax.device_put(
+                keys, NamedSharding(mesh, P(PATHS_AXIS))
+            )
+            x0s_s = jax.device_put(
+                x0s, NamedSharding(mesh, P(PATHS_AXIS, DIM_AXIS))
+            )
+            return batched(keys_s, x0s_s, target, config)
+
+        return gspmd
 
     def sharded(keys, x0s, target, config):
         fn = partial(batched, target=target, config=config)

@@ -125,6 +125,40 @@ def test_shard_dim_warns_when_nothing_shardable(mesh):
         shard_dim((jnp.zeros(7), jnp.zeros(3)), mesh)
 
 
+def test_multipath_on_combined_paths_dim_mesh(mesh):
+    """The combined 2-D ('paths', 'dim') layout (SURVEY §2c: paths over
+    one mesh axis AND the parameter dimension over the other) runs the
+    full multipath pipeline through GSPMD and agrees with the unsharded
+    run; the discrete decisions (success, fit iterations) are identical
+    and the numerics agree to reassociation level."""
+    from pathfinder_tpu.multipath import multipathfinder
+    from pathfinder_tpu.parallel.sharding import paths_dim_mesh
+
+    d = 64
+    target = StandardNormal(d)
+    kw = dict(ndraws=64, nruns=4, maxiters=30, ndraws_elbo=8)
+    res_u = multipathfinder(target, key=jax.random.key(3), **kw)
+    mesh2 = paths_dim_mesh(4, jax.devices()[:8])
+    assert dict(mesh2.shape) == {"paths": 4, "dim": 2}
+    res_s = multipathfinder(target, key=jax.random.key(3), mesh=mesh2, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(res_s.states.success), np.asarray(res_u.states.success)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_s.states.fit_iteration),
+        np.asarray(res_u.states.fit_iteration),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.draws), np.asarray(res_u.draws), atol=1e-8
+    )
+    # indivisible d errors with the axis named
+    with pytest.raises(ValueError, match="'dim' mesh axis"):
+        multipathfinder(
+            StandardNormal(63), key=jax.random.key(3), mesh=mesh2,
+            ndraws=16, nruns=4, maxiters=10,
+        )
+
+
 def test_shard_dim_rejects_explicit_dim_matching_no_leaf(mesh):
     """A mesh-divisible explicit dim that matches no leaf's leading axis
     must raise, not silently replicate everything (e.g. the user padded
