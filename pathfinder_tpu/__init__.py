@@ -17,7 +17,11 @@ from pathfinder_tpu.multipath import (
 from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
 from pathfinder_tpu.ops.psis import PSISResult, psis
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat, pdfactorize, pdunfactorize
-from pathfinder_tpu.parallel.sharding import make_path_executor, paths_mesh
+from pathfinder_tpu.parallel.sharding import (
+    make_path_executor,
+    paths_dim_mesh,
+    paths_mesh,
+)
 from pathfinder_tpu.singlepath import (
     PathfinderConfig,
     PathfinderResult,
@@ -45,6 +49,7 @@ __all__ = [
     "PSISResult",
     "psis",
     "paths_mesh",
+    "paths_dim_mesh",
     "make_path_executor",
     "ess_bulk",
     "ess_tail",
