@@ -39,14 +39,32 @@ def cached_value_and_grad(logp: Callable) -> Callable:
     return vg
 
 
+def cached_hessian(logp: Callable) -> Callable:
+    """``jax.hessian`` with a stable identity per ``logp`` (same jit-cache
+    rationale and on-object lifetime as :func:`cached_value_and_grad`)."""
+    h = getattr(logp, "_pf_cached_hess", None)
+    if h is None:
+        h = jax.hessian(logp)
+        try:
+            logp._pf_cached_hess = h
+        except (AttributeError, TypeError):
+            pass
+    return h
+
+
 @dataclasses.dataclass(frozen=True)
 class LogDensity:
     """A target distribution: ``logp`` must be JAX-traceable over ``(dim,)``
-    arrays. ``value_and_grad`` returns ``(logp(x), ∇logp(x))``."""
+    arrays. ``value_and_grad`` returns ``(logp(x), ∇logp(x))``. ``hess``
+    (optional, ``x -> (d, d)`` Hessian of logp) is the order-2 capability
+    of the reference's LogDensityProblems protocol
+    (``src/optimize.jl:1-29``) — consumed by ``optimizer="newton"``;
+    absent, that optimizer derives it with ``jax.hessian``."""
 
     logp: Callable
     dim: Optional[int] = None
     value_and_grad: Callable = None  # filled in __post_init__ if absent
+    hess: Optional[Callable] = None
 
     def __post_init__(self):
         if self.value_and_grad is None:
@@ -62,7 +80,7 @@ class LogDensity:
     # equal, or every pathfinder() call recompiles the core.
     def _key(self):
         vg = None if self._vg_derived else self.value_and_grad
-        return (self.logp, self.dim, vg)
+        return (self.logp, self.dim, vg, self.hess)
 
     def __hash__(self):
         return hash(self._key())
@@ -76,11 +94,11 @@ class LogDensity:
         to a directly-constructed ``LogDensity(logp, dim)`` — mixing the
         two construction paths must not split the jit cache."""
         if self._vg_derived:
-            return LogDensity(logp=self.logp, dim=dim)
+            return LogDensity(logp=self.logp, dim=dim, hess=self.hess)
         return dataclasses.replace(self, dim=dim)
 
 
-def as_log_density(fn, dim=None, grad=None) -> LogDensity:
+def as_log_density(fn, dim=None, grad=None, hess=None) -> LogDensity:
     """Coerce user input into a :class:`LogDensity`.
 
     Accepts (mirroring the reference's input dispatch,
@@ -93,6 +111,8 @@ def as_log_density(fn, dim=None, grad=None) -> LogDensity:
       ``grad`` is supplied).
     """
     if isinstance(fn, LogDensity):
+        if hess is not None and fn.hess is None:
+            fn = dataclasses.replace(fn, hess=hess)
         if dim is not None and fn.dim is None:
             return fn.with_dim(dim)
         return fn
@@ -105,10 +125,11 @@ def as_log_density(fn, dim=None, grad=None) -> LogDensity:
         )
         if vg is None and grad is not None:
             vg = _vg_from_parts(logp, grad)
-        return LogDensity(logp=logp, dim=d, value_and_grad=vg)
+        h = hess if hess is not None else getattr(fn, "hess", None)
+        return LogDensity(logp=logp, dim=d, value_and_grad=vg, hess=h)
     if callable(fn):
         vg = _vg_from_parts(fn, grad) if grad is not None else None
-        return LogDensity(logp=fn, dim=dim, value_and_grad=vg)
+        return LogDensity(logp=fn, dim=dim, value_and_grad=vg, hess=hess)
     raise TypeError(f"cannot interpret {type(fn)!r} as a log density")
 
 

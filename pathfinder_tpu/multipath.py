@@ -178,6 +178,7 @@ def multipathfinder(
     init=None,
     dim: Optional[int] = None,
     grad=None,
+    hess=None,
     ndraws_elbo: int = 5,
     ndraws_per_run: Optional[int] = None,
     importance: bool = True,
@@ -266,9 +267,17 @@ def multipathfinder(
         if _init_arr.ndim == 2:
             dim = int(_init_arr.shape[1])
     target_input, tld = resolve_transform(fn, transform, dim=dim, grad=grad)
+    if tld is not None and hess is not None:
+        raise ValueError(
+            "hess= cannot be combined with a transform: the unconstrained "
+            "Hessian needs the bijector chain rule; omit hess= (newton "
+            "derives it with jax.hessian of the linked density)."
+        )
     # with a transform, grad was consumed (bijector path) or rejected
     target = as_log_density(
-        target_input, dim=dim, grad=None if tld is not None else grad
+        target_input, dim=dim,
+        grad=None if tld is not None else grad,
+        hess=None if tld is not None else hess,
     )
 
     if init is not None:

@@ -171,11 +171,23 @@ def pathfinder_core(
         from pathfinder_tpu.ops.bfgs import minimize_bfgs_trace
 
         minimize = minimize_bfgs_trace
+    elif cfg.optimizer == "newton":
+        from functools import partial as _partial
+
+        from pathfinder_tpu.models.protocol import cached_hessian
+        from pathfinder_tpu.ops.newton import minimize_newton_trace
+
+        hess_fn = (
+            target.hess
+            if getattr(target, "hess", None) is not None
+            else cached_hessian(target.logp)
+        )
+        minimize = _partial(minimize_newton_trace, hess=hess_fn)
     elif cfg.optimizer == "auto":
         raise ValueError(
             "optimizer='auto' is a multipathfinder feature (it selects by "
             "the multipath Pareto-k̂ diagnostic); a single path has no "
-            "selection signal — pick 'lbfgs', 'cg', or 'bfgs' explicitly"
+            "selection signal — pick 'lbfgs', 'cg', 'bfgs', or 'newton' explicitly"
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
@@ -378,6 +390,7 @@ def pathfinder(
     dim: Optional[int] = None,
     init=None,
     grad=None,
+    hess=None,
     ndraws_elbo: int = 5,
     ndraws: Optional[int] = None,
     history_length: int = 6,
@@ -425,9 +438,17 @@ def pathfinder(
         # transform= path too: the dimension is derivable from init
         dim = int(jnp.asarray(init).shape[0])
     target_input, tld = resolve_transform(fn, transform, dim=dim, grad=grad)
+    if tld is not None and hess is not None:
+        raise ValueError(
+            "hess= cannot be combined with a transform: the unconstrained "
+            "Hessian needs the bijector chain rule; omit hess= (newton "
+            "derives it with jax.hessian of the linked density)."
+        )
     # with a transform, grad was consumed (bijector path) or rejected
     target = as_log_density(
-        target_input, dim=dim, grad=None if tld is not None else grad
+        target_input, dim=dim,
+        grad=None if tld is not None else grad,
+        hess=None if tld is not None else hess,
     )
     if ndraws is None:
         ndraws = ndraws_elbo
