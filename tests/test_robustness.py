@@ -72,11 +72,13 @@ def test_quadratic_extreme_scales_recover():
         ), scale
 
 
-@pytest.mark.parametrize("optimizer", ["cg", "bfgs"])
+@pytest.mark.parametrize("optimizer", ["cg", "bfgs", "newton"])
 @pytest.mark.parametrize("name", ["nan_pocket", "bounded_support", "plateau"])
 def test_pathological_targets_never_crash_cg(name, optimizer):
-    """The CG and dense-BFGS optimizers share the abort/retry/mask
-    machinery — the key failure geometries must be equally survivable."""
+    """The CG, dense-BFGS, and Newton optimizers share the
+    abort/retry/mask machinery — the key failure geometries must be
+    equally survivable (newton additionally exercises jax.hessian of a
+    NaN/-inf-returning target and the non-finite-direction fallback)."""
     logp = CASES[name]
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
