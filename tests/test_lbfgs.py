@@ -301,10 +301,7 @@ def test_wolfe_zoom_exits_on_interval_collapse():
     resolution; the search must exit early via the collapse check and
     fall back to the best sufficient-decrease point instead of burning
     the whole budget re-evaluating one alpha."""
-    calls = [0]
-
     def vg(x):
-        calls[0] += 1
         a = x[0]
         return jnp.abs(a - 0.5), jnp.asarray([jnp.sign(a - 0.5)])
 
@@ -481,9 +478,6 @@ def test_progress_every_emits_iteration_lines(capsys):
     (the reference's per-iteration ProgressLogging events,
     ``src/optimize.jl:91-92``; sequence tested at
     ``test/optimize.jl:138-159``)."""
-    import jax
-
-    from pathfinder_tpu.ops.lbfgs import minimize_lbfgs_trace
 
     def logp(x):
         return -0.5 * jnp.sum((x - 2.0) ** 2)
@@ -507,8 +501,6 @@ def test_small_step_windows_stay_finite_pd():
     absolute ridge floor (the pre-fix behavior) drove I + KᵀDK indefinite
     and every trajectory-end fit — usually the ELBO winner — NaN'd out.
     The ridge is now relative to the data Gram."""
-    from pathfinder_tpu.ops.lbfgs import OptimizationTrace, lbfgs_inverse_hessians
-
     d, L = 20, 10
     rng = np.random.default_rng(0)
     H = np.diag(rng.uniform(0.5, 2.0, d))
@@ -546,8 +538,6 @@ def test_small_scale_gradients_still_optimize():
     optimize, not spuriously 'converge' after one step: the gtol floor is
     the dtype resolution AT THE GRADIENT SCALE (eps is relative
     precision), so the old absolute 25·eps floor no longer applies."""
-    from pathfinder_tpu.ops.lbfgs import minimize_lbfgs_trace
-
     scale = 1e-7
 
     def vg(x):

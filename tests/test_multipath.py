@@ -134,7 +134,7 @@ def test_determinism_across_mesh_shapes_cg_optimizer():
     mesh4 = paths_mesh(jax.devices()[:4])
     r_none, _ = run_multi(key=7, nruns=8, optimizer="cg")
     r_m4, _ = run_multi(key=7, nruns=8, mesh=mesh4, optimizer="cg")
-    assert np.any(np.asarray(r_none.states.success))
+    assert np.all(np.asarray(r_none.states.success))
     # algorithmic decisions: bitwise identical
     np.testing.assert_array_equal(
         np.asarray(r_none.states.trace.xs), np.asarray(r_m4.states.trace.xs)
@@ -164,41 +164,44 @@ def test_mesh_padding_non_divisible():
     assert np.all(np.asarray(res.states.success))
 
 
-def test_multipath_retry_rounds():
+def _nan_wall_logp(x):
+    """N(0, I) inside |x|_inf < 3, NaN outside — the forced-retry target
+    shared by the retry tests (init_scale 8 => ~14% in-support per try)."""
+    clean = -0.5 * jnp.sum(x * x)
+    return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
+
+
+_RETRY_KW = dict(
+    dim=2, key=jax.random.key(12), nruns=6, init_scale=8.0,
+    ntries=400, maxiters=30,
+)
+
+
+@pytest.fixture(scope="module")
+def retry_result_unsharded():
+    # one retry-heavy run shared by both retry tests (the run itself is
+    # the expensive part: ~tens of retry rounds x compile-cached shapes)
+    return multipathfinder(_nan_wall_logp, 100, **_RETRY_KW)
+
+
+def test_multipath_retry_rounds(retry_result_unsharded):
     """Failed lanes are retried in compacted batches until success."""
-
-    def logp(x):
-        clean = -0.5 * jnp.sum(x * x)
-        return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
-
-    res = multipathfinder(
-        logp, 100, dim=2, key=jax.random.key(12), nruns=6, init_scale=8.0,
-        ntries=400, maxiters=30,
-    )
+    res = retry_result_unsharded
     nt = np.asarray(res.num_tries)
     assert np.all(np.asarray(res.states.success))
     assert nt.max() > 1  # at least one lane needed a retry round
     assert np.all(np.isfinite(np.asarray(res.draws)))
 
 
-def test_retry_rounds_ride_the_mesh_deterministically():
+def test_retry_rounds_ride_the_mesh_deterministically(retry_result_unsharded):
     """Retry rounds reuse the sharded executor; a sharded run with forced
     failures matches the unsharded run (same two-tier contract as
     test_determinism_across_mesh_shapes: discrete outputs exact, draws to
     reassociation tolerance), extending mesh determinism to the retry
     path."""
-
-    def logp(x):
-        clean = -0.5 * jnp.sum(x * x)
-        return jnp.where(jnp.max(jnp.abs(x)) > 3.0, jnp.nan, clean)
-
-    kw = dict(
-        dim=2, key=jax.random.key(12), nruns=6, init_scale=8.0,
-        ntries=400, maxiters=30,
-    )
-    r_none = multipathfinder(logp, 100, **kw)
+    r_none = retry_result_unsharded
     mesh4 = paths_mesh(jax.devices()[:4])
-    r_mesh = multipathfinder(logp, 100, mesh=mesh4, **kw)
+    r_mesh = multipathfinder(_nan_wall_logp, 100, mesh=mesh4, **_RETRY_KW)
     assert np.asarray(r_none.num_tries).max() > 1  # retries actually fired
     np.testing.assert_array_equal(
         np.asarray(r_none.num_tries), np.asarray(r_mesh.num_tries)
@@ -287,15 +290,13 @@ def test_input_validation_conflicts():
             elbo_chunk=0,
         )
     with pytest.warns(UserWarning, match="numerically unusable"):
-        with warnings.catch_warnings():
-            warnings.simplefilter("always")
-            try:
-                multipathfinder(
-                    target, 4, key=jax.random.key(0), nruns=2, maxiters=3,
-                    ntries=1, dtype=jnp.bfloat16,
-                )
-            except Exception:
-                pass  # bf16 runs may fail; the warning is the contract
+        try:
+            multipathfinder(
+                target, 4, key=jax.random.key(0), nruns=2, maxiters=3,
+                ntries=1, dtype=jnp.bfloat16,
+            )
+        except Exception:
+            pass  # bf16 runs may fail; the warning is the contract
 
 
 def test_chained_resample_gets_fresh_randomness():
@@ -436,8 +437,7 @@ def test_resample_importance_denominator_override():
         np.asarray(res.psis_result.weights), np.asarray(r2.psis_result.weights)
     )
     # unknown denominator raises
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="importance_denominator"):
+    with pytest.raises(ValueError, match="importance_denominator"):
         resample(res, 50, key=jax.random.key(3),
                  importance_denominator="geometric")
 
