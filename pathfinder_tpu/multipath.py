@@ -212,10 +212,13 @@ def multipathfinder(
     (parity: ``ext/PathfinderTuringExt.jl:246-286``).
 
     ``optimizer="auto"`` (beyond-reference) runs the full pipeline under
-    both ``"lbfgs"`` and ``"cg"`` and returns the result with the lower
-    Pareto-k̂ — which optimizer produces better-located components is
-    target-dependent while the ELBO cannot tell (measured; see
-    ``docs/examples/resampling.md``). Twice the cost; requires
+    each optimizer in ``auto_optimizers`` (default ``("lbfgs", "cg")``;
+    any subset of lbfgs/cg/bfgs/newton) and returns the result with the
+    lower Pareto-k̂ — which optimizer produces better-located components
+    is target-dependent while the ELBO cannot tell (measured; see
+    ``docs/examples/resampling.md``). A NaN k̂ with near-uniform weights
+    (ESS ≈ N — a perfect fit's zero-variance tail) ranks best; other NaN
+    k̂s rank last. Cost = one full run per optimizer; requires
     ``importance=True``.
     """
     if config_overrides.get("optimizer") == "auto":
@@ -232,7 +235,7 @@ def multipathfinder(
                 "requires importance=True"
             )
         shared = dict(
-            key=key, nruns=nruns, init=init, dim=dim, grad=grad,
+            key=key, nruns=nruns, init=init, dim=dim, grad=grad, hess=hess,
             ndraws_elbo=ndraws_elbo, ndraws_per_run=ndraws_per_run,
             importance=importance,
             importance_denominator=importance_denominator,
@@ -241,17 +244,26 @@ def multipathfinder(
             init_sampler=init_sampler, gtol=gtol, mesh=mesh, dtype=dtype,
             progress=progress, transform=transform,
         )
+        auto_set = tuple(config_overrides.pop("auto_optimizers", ("lbfgs", "cg")))
         candidates = {
             opt: multipathfinder(
                 fn, ndraws, **shared,
                 **{**config_overrides, "optimizer": opt},
             )
-            for opt in ("lbfgs", "cg")
+            for opt in auto_set
         }
 
         def _khat(r):
             k = float(r.psis_result.pareto_shape)
-            return float("inf") if k != k else k  # NaN-safe
+            if k == k:
+                return k
+            # NaN k̂ ("not computed") is ambiguous: a zero-variance weight
+            # tail from a PERFECT fit (every weight ≈ 1/N, ESS ≈ N) is the
+            # best possible IS outcome and ranks first (-inf; ties break
+            # by auto_optimizers order); any other NaN ranks last
+            w = np.asarray(r.psis_result.weights)
+            ess = 1.0 / (np.sum(w * w) * w.shape[0])
+            return float("-inf") if ess >= 0.99 else float("inf")
 
         return candidates[min(candidates, key=lambda o: _khat(candidates[o]))]
 

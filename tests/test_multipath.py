@@ -215,6 +215,21 @@ def test_retry_rounds_ride_the_mesh_deterministically(retry_result_unsharded):
     )
 
 
+def test_optimizer_auto_custom_set_and_perfect_fit_rank():
+    """auto_optimizers widens the competition; a NaN-k̂ PERFECT fit
+    (newton on an exact Gaussian: uniform weights, ESS = N) must rank
+    best, not be discarded as 'not computed'."""
+    target = StandardNormal(4)
+    res = multipathfinder(
+        target, 60, key=jax.random.key(15), nruns=4, maxiters=40,
+        optimizer="auto", auto_optimizers=("lbfgs", "newton"),
+    )
+    # newton's exact fit wins via the uniform-weight ESS rule
+    assert res.config.optimizer == "newton"
+    w = np.asarray(res.psis_result.weights)
+    assert 1.0 / (np.sum(w * w) * w.shape[0]) >= 0.99
+
+
 def test_optimizer_auto_selects_by_khat():
     """optimizer="auto" runs both optimizers and returns the lower-k̂
     result (k̂ as fit diagnostic, Yao et al. 2018 — beyond-reference)."""
