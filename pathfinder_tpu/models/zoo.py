@@ -169,11 +169,78 @@ def student_t_synthetic(n: int = 400, d: int = 8, df: float = 4.0,
     return X, y, beta_true
 
 
+def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
+    """Ordinal (cumulative-logit) regression — the ordered-cutpoint GLM
+    (Stan reference manual "ordered logistic"): ``P(y ≤ k | x) =
+    σ(c_k − xβ)`` with strictly increasing cutpoints ``c``.
+
+    Returns a :class:`~pathfinder_tpu.integrations.transforms.TransformedLogDensity`
+    over constrained parameters ``[c (n_cats−1, ordered), β (d)]`` — the
+    ``Ordered`` bijector (Stacked with Identity for β) handles the
+    monotonicity constraint, so this family exercises the block-bijector
+    machinery through the full pipeline. Category log-probabilities use
+    the stable ``log(σ(b) − σ(a)) = logσ(b) + logσ(−a) + log1p(−e^{a−b})``
+    identity (exact at both edge categories via ±30 padded cutpoints).
+    """
+    from pathfinder_tpu.integrations.transforms import (
+        Identity,
+        Ordered,
+        Stacked,
+        TransformedLogDensity,
+    )
+
+    Xj = jnp.asarray(X)
+    d = Xj.shape[1]
+    K = int(n_cats)
+    yk = jnp.asarray(y, jnp.int32)  # categories 0..K-1
+    big = 30.0
+
+    def logp_constrained(theta):
+        c = theta[: K - 1]
+        beta = theta[K - 1 :]
+        eta = Xj @ beta
+        c_pad = jnp.concatenate(
+            [jnp.full((1,), -big, theta.dtype), c,
+             jnp.full((1,), big, theta.dtype)]
+        )
+        a = c_pad[yk] - eta  # lower cutpoint minus linear predictor
+        b = c_pad[yk + 1] - eta  # upper
+        loglik = jnp.sum(
+            jax.nn.log_sigmoid(b)
+            + jax.nn.log_sigmoid(-a)
+            + jnp.log1p(-jnp.exp(a - b))
+        )
+        logprior = -0.5 * jnp.sum((theta / prior_scale) ** 2)
+        return loglik + logprior
+
+    bij = Stacked(((Ordered(), K - 1), (Identity(), d)))
+    return TransformedLogDensity(
+        logp_constrained=logp_constrained, bijector=bij, dim=K - 1 + d
+    )
+
+
+def ordered_logistic_synthetic(
+    n: int = 600, d: int = 4, n_cats: int = 4, seed: int = 0
+):
+    """Synthetic ordinal-regression data with well-separated cutpoints."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d)) / np.sqrt(d)
+    X[:, 0] = 1.0
+    beta_true = rng.standard_normal(d) * 0.8
+    c_true = np.sort(rng.uniform(-1.5, 1.5, n_cats - 1))
+    eta = X @ beta_true
+    u = rng.logistic(size=n)
+    y = np.sum((eta + u)[:, None] > c_true[None, :], axis=1)
+    return X, y, c_true, beta_true
+
+
 __all__ += [
     "PoissonRegression",
     "poisson_synthetic",
     "StudentTRegression",
     "student_t_synthetic",
+    "OrderedLogisticRegression",
+    "ordered_logistic_synthetic",
 ]
 
 

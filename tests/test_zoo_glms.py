@@ -61,3 +61,39 @@ def test_glm_posterior_recovery(family):
     assert np.max(np.abs(x.mean(axis=1) - mean_ref) / sd_ref) < 0.35, family
     # posterior sds within 35% (both estimators carry error)
     np.testing.assert_allclose(x.std(axis=1), sd_ref, rtol=0.35)
+
+
+def test_ordered_logistic_full_pipeline():
+    """Ordinal (cumulative-logit) regression: the Ordered bijector
+    (Stacked with Identity for β) carried through the FULL pipeline —
+    optimization in unconstrained space, constrained draws strictly
+    increasing cutpoints — validated against the NUTS referee on the
+    linked density (same methodology as the other GLM families)."""
+    from pathfinder_tpu.models import (
+        OrderedLogisticRegression,
+        ordered_logistic_synthetic,
+    )
+    from pathfinder_tpu.singlepath import pathfinder
+
+    d, K = 4, 4
+    X, y, _, _ = ordered_logistic_synthetic(n=600, d=d, n_cats=K, seed=0)
+    tld = OrderedLogisticRegression(X.astype(np.float32), y, K)
+    dim = tld.dim
+
+    # NUTS referee on the linked (unconstrained) density
+    mean_ref, sd_ref = _nuts_truth(tld.unconstrained, dim, jax.random.key(20))
+
+    res = multipathfinder(
+        tld, 2000, key=jax.random.key(21), nruns=8, maxiters=80,
+        ndraws_per_run=400,
+    )
+    assert np.all(np.asarray(res.states.success))
+    k = float(res.psis_result.pareto_shape)
+    assert k < 0.7, f"khat {k} should be good/ok on this log-concave target"
+    z = np.asarray(res.draws)  # unconstrained draws
+    assert np.max(np.abs(z.mean(axis=1) - mean_ref) / sd_ref) < 0.35
+    np.testing.assert_allclose(z.std(axis=1), sd_ref, rtol=0.35)
+    # constrained draws: cutpoints strictly increasing in EVERY draw
+    xc = np.asarray(res.draws_transformed)
+    cut = xc[: K - 1]
+    assert np.all(np.diff(cut, axis=0) > 0), "Ordered constraint violated"
