@@ -193,7 +193,7 @@ def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
     d = Xj.shape[1]
     K = int(n_cats)
     yk = jnp.asarray(y, jnp.int32)  # categories 0..K-1
-    big = 30.0
+    big = 200.0
 
     def logp_constrained(theta):
         c = theta[: K - 1]
@@ -205,10 +205,15 @@ def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
         )
         a = c_pad[yk] - eta  # lower cutpoint minus linear predictor
         b = c_pad[yk + 1] - eta  # upper
+        # a < b holds by the ordering except when a cutpoint excursion
+        # crosses the ±big pad (|c| > 200 — absurd, but a line-search
+        # trial can get there); clamp so log1p stays a huge finite
+        # penalty instead of log(negative) = NaN poisoning the gradient
+        diff = jnp.minimum(a - b, -1e-6)
         loglik = jnp.sum(
             jax.nn.log_sigmoid(b)
             + jax.nn.log_sigmoid(-a)
-            + jnp.log1p(-jnp.exp(a - b))
+            + jnp.log1p(-jnp.exp(diff))
         )
         logprior = -0.5 * jnp.sum((theta / prior_scale) ** 2)
         return loglik + logprior
@@ -222,12 +227,16 @@ def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
 def ordered_logistic_synthetic(
     n: int = 600, d: int = 4, n_cats: int = 4, seed: int = 0
 ):
-    """Synthetic ordinal-regression data with well-separated cutpoints."""
+    """Synthetic ordinal-regression data with well-separated cutpoints
+    (gaps ≥ 0.5 by construction). NO intercept column: cumulative-logit
+    models are invariant under ``c → c+δ, β₀ → β₀+δ``, so an intercept
+    would leave a prior-only-identified ridge in the posterior."""
     rng = np.random.default_rng(seed)
     X = rng.standard_normal((n, d)) / np.sqrt(d)
-    X[:, 0] = 1.0
     beta_true = rng.standard_normal(d) * 0.8
-    c_true = np.sort(rng.uniform(-1.5, 1.5, n_cats - 1))
+    gaps = rng.uniform(0.5, 1.0, n_cats - 1)
+    c_true = np.cumsum(gaps)
+    c_true = c_true - c_true.mean()  # centered, strictly increasing
     eta = X @ beta_true
     u = rng.logistic(size=n)
     y = np.sum((eta + u)[:, None] > c_true[None, :], axis=1)

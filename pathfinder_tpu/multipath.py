@@ -221,7 +221,31 @@ def multipathfinder(
     k̂s rank last. Cost = one full run per optimizer; requires
     ``importance=True``.
     """
+    _KNOWN_OPTS = ("lbfgs", "cg", "bfgs", "newton")
+    auto_set = config_overrides.pop("auto_optimizers", None)
+    if auto_set is not None and config_overrides.get("optimizer") != "auto":
+        raise ValueError(
+            "auto_optimizers requires optimizer='auto' (it names the "
+            "candidates the auto mode runs)"
+        )
     if config_overrides.get("optimizer") == "auto":
+        if auto_set is None:
+            auto_set = ("lbfgs", "cg")
+        elif isinstance(auto_set, str):
+            # a bare string would iterate per character
+            auto_set = (auto_set,)
+        else:
+            auto_set = tuple(auto_set)
+        if not auto_set:
+            raise ValueError("auto_optimizers must name at least one optimizer")
+        bad = [o for o in auto_set if o not in _KNOWN_OPTS]
+        if bad:
+            # validate up front — a typo discovered inside the Nth
+            # sub-run would waste every earlier full pipeline
+            raise ValueError(
+                f"unknown auto_optimizers entries {bad}; choose from "
+                f"{_KNOWN_OPTS}"
+            )
         # Run both trajectory optimizers and let the Pareto-k̂ diagnostic
         # arbitrate (k̂ as a VI fit-quality diagnostic, Yao et al. 2018).
         # Measured motivation: which optimizer yields better-located
@@ -244,7 +268,6 @@ def multipathfinder(
             init_sampler=init_sampler, gtol=gtol, mesh=mesh, dtype=dtype,
             progress=progress, transform=transform,
         )
-        auto_set = tuple(config_overrides.pop("auto_optimizers", ("lbfgs", "cg")))
         candidates = {
             opt: multipathfinder(
                 fn, ndraws, **shared,
@@ -260,10 +283,20 @@ def multipathfinder(
             # NaN k̂ ("not computed") is ambiguous: a zero-variance weight
             # tail from a PERFECT fit (every weight ≈ 1/N, ESS ≈ N) is the
             # best possible IS outcome and ranks first (-inf; ties break
-            # by auto_optimizers order); any other NaN ranks last
-            w = np.asarray(r.psis_result.weights)
-            ess = 1.0 / (np.sum(w * w) * w.shape[0])
-            return float("-inf") if ess >= 0.99 else float("inf")
+            # by auto_optimizers order). But psis() ALSO returns uniform
+            # weights when every log ratio was non-finite (the
+            # all-degenerate fallback) — a completely broken candidate.
+            # Require healthy evidence (all paths succeeded, finite
+            # draws) before awarding the perfect-fit rank; any other NaN
+            # ranks last.
+            ess_frac = float(r.psis_result.ess) / r.psis_result.weights.shape[0]
+            healthy = bool(
+                np.all(np.asarray(r.states.success))
+            ) and bool(np.isfinite(np.asarray(r.draws)).all())
+            return (
+                float("-inf") if (ess_frac >= 0.99 and healthy)
+                else float("inf")
+            )
 
         return candidates[min(candidates, key=lambda o: _khat(candidates[o]))]
 

@@ -226,8 +226,31 @@ def test_optimizer_auto_custom_set_and_perfect_fit_rank():
     )
     # newton's exact fit wins via the uniform-weight ESS rule
     assert res.config.optimizer == "newton"
-    w = np.asarray(res.psis_result.weights)
-    assert 1.0 / (np.sum(w * w) * w.shape[0]) >= 0.99
+    ess_frac = float(res.psis_result.ess) / res.psis_result.weights.shape[0]
+    assert ess_frac >= 0.99
+    # input validation: typos / wrong spellings fail fast, BEFORE any
+    # full sub-run burns compute
+    with pytest.raises(ValueError, match="unknown auto_optimizers"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            optimizer="auto", auto_optimizers=("lbfgs", "newtn"),
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            optimizer="auto", auto_optimizers=(),
+        )
+    with pytest.raises(ValueError, match="requires optimizer='auto'"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            auto_optimizers=("lbfgs",),
+        )
+    # a bare string names one optimizer (not iterated per character)
+    r1 = multipathfinder(
+        target, 20, key=jax.random.key(1), nruns=2, maxiters=20,
+        optimizer="auto", auto_optimizers="lbfgs",
+    )
+    assert r1.config.optimizer == "lbfgs"
 
 
 def test_optimizer_auto_selects_by_khat():
