@@ -49,7 +49,19 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
+from jax.scipy.linalg import block_diag, solve_triangular
+
+def _concrete_scalar(c):
+    """``float(c)`` when ``c`` is a concrete scalar — Python int/float,
+    numpy scalar, or an untraced 0-d array — else ``None`` (traced
+    values cannot change the output type)."""
+    if isinstance(c, jax.core.Tracer):
+        return None
+    try:
+        return float(c)
+    except (TypeError, ValueError):
+        return None
+
 
 __all__ = [
     "WoodburyFactor",
@@ -95,7 +107,8 @@ class WoodburyFactor:
     def _ah_mul(self, x):
         if self.diag_A:
             return x * _colvec(self.a_half, x)
-        return jnp.tensordot(self.a_half, x, axes=1) if x.ndim > 1 else self.a_half @ x
+        return self.a_half @ x  # (n,) and (n, N) both
+
 
     def _ah_t_mul(self, x):
         if self.diag_A:
@@ -182,11 +195,17 @@ def pdfactorize(
       projection of null directions — maximally robust, but batched ``eigh``
       of tiny matrices is ~5-10× slower on TPU.
     """
+    if B.ndim != 2 or D.ndim != 2 or D.shape != (B.shape[1],) * 2:
+        # a 1-D B would silently broadcast into an (n, n) X and factor a
+        # completely different matrix (the natural rank-1 calling mistake)
+        raise ValueError(
+            f"B must be (n, m) and D (m, m); got B {B.shape}, D {D.shape}"
+        )
     dtype = jnp.result_type(A, B, D)
     A, B, D = A.astype(dtype), B.astype(dtype), D.astype(dtype)
     m = B.shape[-1]
     if col_mask is not None:
-        col_mask = col_mask.astype(dtype)
+        col_mask = jnp.asarray(col_mask).astype(dtype)
         B = B * col_mask
         D = D * col_mask[:, None] * col_mask[None, :]
 
@@ -286,12 +305,17 @@ class WoodburyPDMat:
     # -- constructors ---------------------------------------------------------
     @staticmethod
     def from_parts(A, B, D, col_mask=None, method="chol") -> "WoodburyPDMat":
-        A = jnp.asarray(A)
-        B = jnp.asarray(B)
-        D = jnp.asarray(D)
+        # store A/B/D in the promoted dtype the factor is computed in —
+        # mixed-precision parts would otherwise make a pytree with
+        # inconsistent leaf dtypes and a .dtype property (B's) that
+        # disagrees with the factor's
+        dtype = jnp.result_type(A, B, D)
+        A = jnp.asarray(A, dtype)
+        B = jnp.asarray(B, dtype)
+        D = jnp.asarray(D, dtype)
         F = pdfactorize(A, B, D, col_mask=col_mask, method=method)
         if col_mask is not None:
-            cm = col_mask.astype(B.dtype)
+            cm = jnp.asarray(col_mask).astype(dtype)
             B = B * cm
             D = D * cm[:, None] * cm[None, :]
         return WoodburyPDMat(A, B, D, F)
@@ -417,6 +441,13 @@ class WoodburyPDMat:
         return WoodburyPDMat.from_parts(A, self.B, self.D, method=method)
 
     def __add__(self, other):
+        return self.add(other)
+
+    def add(self, other, method: str = "chol") -> "WoodburyPDMat":
+        """``W₁ + W₂`` in lazy form (``__add__`` with a selectable
+        refactorization ``method`` — every other derived-object
+        constructor exposes it; near-collinear concatenated columns are
+        exactly the case ``method="eigh"`` exists for)."""
         if isinstance(other, WoodburyPDMat):
             # A₁+A₂ stays diag/dense; the low-rank parts concatenate
             if (self.A.ndim == 1) == (other.A.ndim == 1):
@@ -426,10 +457,8 @@ class WoodburyPDMat:
                 a2 = jnp.diag(other.A) if other.A.ndim == 1 else other.A
                 A = a1 + a2
             B = jnp.concatenate([self.B, other.B], axis=1)
-            from jax.scipy.linalg import block_diag
-
             D = block_diag(self.D, other.D)  # promotes dtypes correctly
-            return WoodburyPDMat.from_parts(A, B, D)
+            return WoodburyPDMat.from_parts(A, B, D, method=method)
         return NotImplemented
 
     __radd__ = __add__
@@ -442,8 +471,9 @@ class WoodburyPDMat:
         longer positive definite, so no lazy form exists). A *traced*
         non-positive ``c`` cannot change the output type and yields NaNs
         (detectable via ``is_finite_pd``)."""
-        if isinstance(c, (int, float)) and c <= 0:
-            return c * self.to_dense()
+        cv = _concrete_scalar(c)
+        if cv is not None and cv <= 0:
+            return cv * self.to_dense()
         return WoodburyPDMat.from_parts(
             self.A * c, self.B, self.D * c, method=method
         )

@@ -163,6 +163,40 @@ def test_woodbury_inv_and_scale():
     W0 = W.scale(0)
     assert not isinstance(W0, WoodburyPDMat)
     np.testing.assert_allclose(np.asarray(W0), 0.0 * W_dense)
+    # numpy scalars and untraced 0-d arrays are concrete too: they must
+    # take the SAME densify path, not silently produce a NaN lazy form
+    for c in (np.float64(-2.0), jnp.asarray(-2.0)):
+        Wn = W * c
+        assert not isinstance(Wn, WoodburyPDMat), type(c)
+        np.testing.assert_allclose(np.asarray(Wn), -2.0 * W_dense, rtol=1e-10)
+
+
+def test_construction_input_contract():
+    """Shape/dtype contract: a 1-D B raises (it would silently broadcast
+    into an (n, n) X and factor a different matrix); list col_masks are
+    accepted; mixed-precision parts are stored in the promoted dtype so
+    the pytree has consistent leaves and .dtype matches the factor."""
+    rng = np.random.default_rng(5)
+    A = rng.uniform(0.5, 2.0, 6)
+    B = rng.standard_normal((6, 2)) * 0.3
+    D = np.eye(2)
+    with pytest.raises(ValueError, match="B must be"):
+        WoodburyPDMat.from_parts(A, B[:, 0], D)
+    with pytest.raises(ValueError, match="B must be"):
+        WoodburyPDMat.from_parts(A, B, np.eye(3))
+    Wm = WoodburyPDMat.from_parts(A, B, D, col_mask=[1.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(Wm.to_dense()),
+        np.diag(A) + np.outer(B[:, 0], B[:, 0]),
+        rtol=1e-9,
+    )
+    Wmixed = WoodburyPDMat.from_parts(
+        jnp.asarray(A),  # f64 under x64
+        jnp.asarray(B, jnp.float32),
+        jnp.asarray(D, jnp.float32),
+    )
+    assert Wmixed.B.dtype == Wmixed.A.dtype == Wmixed.dtype
+    assert Wmixed.factor.a_half.dtype == Wmixed.dtype
 
 
 def test_add_scaled_identity_and_add():
