@@ -180,7 +180,9 @@ def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
     monotonicity constraint, so this family exercises the block-bijector
     machinery through the full pipeline. Category log-probabilities use
     the stable ``log(σ(b) − σ(a)) = logσ(b) + logσ(−a) + log1p(−e^{a−b})``
-    identity (exact at both edge categories via ±30 padded cutpoints).
+    identity (exact at both edge categories via ±200 padded cutpoints,
+    with the exponent clamped so even a pad-crossing cutpoint excursion
+    yields a finite penalty, never NaN).
     """
     from pathfinder_tpu.integrations.transforms import (
         Identity,
@@ -224,6 +226,67 @@ def OrderedLogisticRegression(X, y, n_cats: int, prior_scale: float = 5.0):
     )
 
 
+def NegativeBinomialRegression(X, y, prior_scale: float = 5.0):
+    """Negative-binomial (NB2) regression with LEARNED dispersion — the
+    overdispersed companion to :func:`PoissonRegression`. ``μ = exp(Xβ)``,
+    ``y ~ NB2(μ, φ)`` with ``Var = μ + μ²/φ``; constrained parameters
+    ``[β (d), φ (1, positive)]`` via ``Stacked((Identity, d), (Exp, 1))``
+    — a mixed identity/positive block transform through the full
+    pipeline. Prior: N(0, prior_scale²) on β and on log φ.
+
+    Returns a :class:`~pathfinder_tpu.integrations.transforms.TransformedLogDensity`.
+    """
+    from jax.scipy.special import gammaln
+
+    from pathfinder_tpu.integrations.transforms import (
+        Exp,
+        Identity,
+        Stacked,
+        TransformedLogDensity,
+    )
+
+    Xj = jnp.asarray(X)
+    yj = jnp.asarray(y, Xj.dtype)
+    d = Xj.shape[1]
+
+    def logp_constrained(theta):
+        beta = theta[:d]
+        phi = theta[d]
+        eta = jnp.clip(Xj @ beta, -20.0, 20.0)  # bound the rate like the
+        # Poisson generator does; an unbounded exp overflows f32 at ~88
+        mu = jnp.exp(eta)
+        loglik = jnp.sum(
+            gammaln(yj + phi)
+            - gammaln(phi)
+            - gammaln(yj + 1.0)
+            + phi * (jnp.log(phi) - jnp.log(phi + mu))
+            + yj * (eta - jnp.log(phi + mu))
+        )
+        logprior = -0.5 * jnp.sum((beta / prior_scale) ** 2)
+        logprior += -0.5 * (jnp.log(phi) / prior_scale) ** 2
+        return loglik + logprior
+
+    bij = Stacked(((Identity(), d), (Exp(), 1)))
+    return TransformedLogDensity(
+        logp_constrained=logp_constrained, bijector=bij, dim=d + 1
+    )
+
+
+def negative_binomial_synthetic(
+    n: int = 500, d: int = 6, phi: float = 3.0, seed: int = 0
+):
+    """Synthetic NB2 data with genuine overdispersion (gamma-Poisson
+    mixture)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d)) / np.sqrt(d)
+    X[:, 0] = 1.0
+    beta_true = rng.standard_normal(d) * 0.5
+    mu = np.exp(np.clip(X @ beta_true, -4.0, 4.0))
+    lam = rng.gamma(phi, mu / phi)  # Var(y) = mu + mu^2/phi
+    y = rng.poisson(lam).astype(np.float64)
+    return X, y, beta_true
+
+
 def ordered_logistic_synthetic(
     n: int = 600, d: int = 4, n_cats: int = 4, seed: int = 0
 ):
@@ -250,6 +313,8 @@ __all__ += [
     "student_t_synthetic",
     "OrderedLogisticRegression",
     "ordered_logistic_synthetic",
+    "NegativeBinomialRegression",
+    "negative_binomial_synthetic",
 ]
 
 

@@ -97,3 +97,38 @@ def test_ordered_logistic_full_pipeline():
     xc = np.asarray(res.draws_transformed)
     cut = xc[: K - 1]
     assert np.all(np.diff(cut, axis=0) > 0), "Ordered constraint violated"
+
+
+def test_negative_binomial_full_pipeline():
+    """NB2 regression with LEARNED dispersion: mixed Identity+Exp block
+    transform ([beta (d), phi (1, positive)]) through the full pipeline,
+    NUTS-referee agreement, and the dispersion posterior concentrated
+    near the generating phi."""
+    from pathfinder_tpu.models import (
+        NegativeBinomialRegression,
+        negative_binomial_synthetic,
+    )
+
+    d, phi_true = 6, 3.0
+    X, y, _ = negative_binomial_synthetic(n=500, d=d, phi=phi_true, seed=0)
+    tld = NegativeBinomialRegression(X.astype(np.float32), y)
+    dim = tld.dim
+
+    mean_ref, sd_ref = _nuts_truth(tld.unconstrained, dim, jax.random.key(30))
+
+    res = multipathfinder(
+        tld, 2000, key=jax.random.key(31), nruns=8, maxiters=80,
+        ndraws_per_run=400,
+    )
+    assert np.all(np.asarray(res.states.success))
+    k = float(res.psis_result.pareto_shape)
+    assert k < 0.7, f"khat {k} should be good/ok"
+    z = np.asarray(res.draws)
+    assert np.max(np.abs(z.mean(axis=1) - mean_ref) / sd_ref) < 0.35
+    np.testing.assert_allclose(z.std(axis=1), sd_ref, rtol=0.35)
+    # constrained view: phi strictly positive in every draw, posterior
+    # mean in the right ballpark of the generating value
+    xc = np.asarray(res.draws_transformed)
+    phi_draws = xc[d]
+    assert np.all(phi_draws > 0)
+    assert 1.0 < phi_draws.mean() < 9.0, phi_draws.mean()
