@@ -29,7 +29,7 @@ from pathfinder_tpu.singlepath import (
 )
 from pathfinder_tpu.utils.diagnostics import ess_bulk, ess_tail, split_rhat, summarize
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "pathfinder",
