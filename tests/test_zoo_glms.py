@@ -132,3 +132,57 @@ def test_negative_binomial_full_pipeline():
     phi_draws = xc[d]
     assert np.all(phi_draws > 0)
     assert 1.0 < phi_draws.mean() < 9.0, phi_draws.mean()
+
+
+def test_glm_densities_vs_independent_implementations():
+    """Direct density cross-checks against naive scipy/numpy
+    implementations — an INDEPENDENT referee for the likelihood algebra
+    (the NUTS-agreement tests share the model's own density on both
+    sides, so they cannot catch a wrong likelihood)."""
+    from scipy.special import gammaln as sp_gammaln
+    from scipy.special import expit
+
+    from pathfinder_tpu.models import (
+        NegativeBinomialRegression,
+        OrderedLogisticRegression,
+        negative_binomial_synthetic,
+        ordered_logistic_synthetic,
+    )
+
+    rng = np.random.default_rng(0)
+
+    # NB2: model logp vs scipy gammaln formula (+ the same priors)
+    d = 6
+    X, y, _ = negative_binomial_synthetic(n=200, d=d, phi=3.0, seed=0)
+    tld = NegativeBinomialRegression(X, y, prior_scale=5.0)
+    for _ in range(5):
+        beta = rng.standard_normal(d) * 0.3
+        phi = float(rng.uniform(0.5, 5.0))
+        theta = jnp.asarray(np.concatenate([beta, [phi]]))
+        eta = np.clip(X @ beta, -20, 20)
+        mu = np.exp(eta)
+        ll = np.sum(
+            sp_gammaln(y + phi) - sp_gammaln(phi) - sp_gammaln(y + 1.0)
+            + phi * (np.log(phi) - np.log(phi + mu))
+            + y * (eta - np.log(phi + mu))
+        )
+        lp = ll - 0.5 * np.sum((beta / 5.0) ** 2) - 0.5 * (np.log(phi) / 5.0) ** 2
+        np.testing.assert_allclose(
+            float(tld.logp_constrained(theta)), lp, rtol=1e-9
+        )
+
+    # ordered logistic: model logp vs naive sigmoid-difference sum
+    dK, K = 4, 4
+    Xo, yo, c_true, _ = ordered_logistic_synthetic(n=200, d=dK, n_cats=K, seed=0)
+    tldo = OrderedLogisticRegression(Xo, yo, K, prior_scale=5.0)
+    for _ in range(5):
+        c = np.sort(rng.uniform(-1.5, 1.5, K - 1))
+        beta = rng.standard_normal(dK) * 0.3
+        theta = jnp.asarray(np.concatenate([c, beta]))
+        eta = Xo @ beta
+        c_pad = np.concatenate([[-np.inf], c, [np.inf]])
+        p = expit(c_pad[yo + 1] - eta) - expit(c_pad[yo] - eta)
+        lp = np.sum(np.log(p)) - 0.5 * np.sum((theta / 5.0) ** 2)
+        np.testing.assert_allclose(
+            float(tldo.logp_constrained(theta)), lp, rtol=1e-6
+        )
