@@ -186,3 +186,39 @@ def test_glm_densities_vs_independent_implementations():
         np.testing.assert_allclose(
             float(tldo.logp_constrained(theta)), lp, rtol=1e-6
         )
+
+
+def test_unconstrained_glm_densities_vs_numpy():
+    """Same independent-referee check for the plain-LogDensity families
+    (logistic / Poisson / Student-t)."""
+    from pathfinder_tpu.models import LogisticRegression
+    from pathfinder_tpu.models.zoo import german_credit_synthetic
+
+    rng = np.random.default_rng(1)
+
+    Xg, yg = german_credit_synthetic(n=150, d=10, seed=0)[:2]
+    t1 = LogisticRegression(Xg, yg, prior_scale=10.0)
+    X2, y2, _ = poisson_synthetic(n=150, d=5, seed=0)
+    t2 = PoissonRegression(X2, y2, prior_scale=5.0)
+    X3, y3, _ = student_t_synthetic(n=150, d=5, seed=0)
+    t3 = StudentTRegression(X3, y3, df=4.0, prior_scale=5.0)
+
+    for _ in range(5):
+        b1 = rng.standard_normal(10) * 0.3
+        logits = Xg @ b1
+        lp1 = np.sum(yg * logits - np.logaddexp(0.0, logits)) - 0.5 * np.sum(
+            (b1 / 10.0) ** 2
+        )
+        np.testing.assert_allclose(float(t1.logp(jnp.asarray(b1))), lp1, rtol=1e-9)
+
+        b2 = rng.standard_normal(5) * 0.3
+        eta = X2 @ b2
+        lp2 = np.sum(y2 * eta - np.exp(eta)) - 0.5 * np.sum((b2 / 5.0) ** 2)
+        np.testing.assert_allclose(float(t2.logp(jnp.asarray(b2))), lp2, rtol=1e-9)
+
+        b3 = rng.standard_normal(5) * 0.3
+        z = y3 - X3 @ b3
+        lp3 = -0.5 * 5.0 * np.sum(np.log1p(z * z / 4.0)) - 0.5 * np.sum(
+            (b3 / 5.0) ** 2
+        )
+        np.testing.assert_allclose(float(t3.logp(jnp.asarray(b3))), lp3, rtol=1e-9)
