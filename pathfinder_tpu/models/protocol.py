@@ -111,8 +111,17 @@ def as_log_density(fn, dim=None, grad=None, hess=None) -> LogDensity:
       ``grad`` is supplied).
     """
     if isinstance(fn, LogDensity):
-        if hess is not None and fn.hess is None:
-            fn = dataclasses.replace(fn, hess=hess)
+        if hess is not None and fn.hess is not hess:
+            # the explicit argument wins (same precedence as the
+            # duck-typed branch). Rebuild rather than replace() when vg
+            # is derived: replace() would pass the derived closure as
+            # explicit, flipping _vg_derived and splitting the jit-cache
+            # hash from the plain-callable construction path (the
+            # with_dim invariant).
+            if fn._vg_derived:
+                fn = LogDensity(logp=fn.logp, dim=fn.dim, hess=hess)
+            else:
+                fn = dataclasses.replace(fn, hess=hess)
         if dim is not None and fn.dim is None:
             return fn.with_dim(dim)
         return fn

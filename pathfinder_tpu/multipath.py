@@ -322,7 +322,7 @@ def multipathfinder(
     target = as_log_density(
         target_input, dim=dim,
         grad=None if tld is not None else grad,
-        hess=None if tld is not None else hess,
+        hess=hess,  # hess+transform already raised above
     )
 
     if init is not None:

@@ -130,11 +130,16 @@ def minimize_newton_trace(
         H_min = (-hess(s.x)).astype(dtype)
         H_min = 0.5 * (H_min + H_min.T)  # eigh wants exact symmetry
         w, V = jnp.linalg.eigh(H_min)
-        # spectrum clamp (N&W §3.4.1): indefinite/singular Hessians give
-        # a damped-Newton direction instead of an uphill or infinite step
+        # saddle-free spectrum modification: |λ| floored at δ. Clamping
+        # λ → max(λ, δ) instead would AMPLIFY negative-curvature
+        # components by 1/δ (≈1e8 in f64) — a step the bounded line
+        # search cannot recover, silently truncating the trajectory at
+        # saddles. |λ| keeps every step O(1/|λ|) and still flips
+        # negative curvature into descent (Dauphin et al. 2014; the
+        # sign-flip variant of N&W §3.4's indefinite-Hessian fix).
         wmax = jnp.max(jnp.abs(w))
         delta = sqrt_eps * jnp.maximum(wmax, 1.0)
-        w_mod = jnp.maximum(w, delta)
+        w_mod = jnp.maximum(jnp.abs(w), delta)
         direction = -(V @ ((V.T @ s.g) / w_mod))
         # a non-finite Hessian poisons the direction: fall back to
         # steepest descent for this step

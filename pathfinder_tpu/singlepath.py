@@ -83,10 +83,12 @@ class PathfinderConfig(NamedTuple):
     # optimizer and tests BFGS/ConjugateGradient/NLopt,
     # src/singlepath.jl:120-123, test/optimize.jl:104-135). "lbfgs"
     # (default), "cg" (PR+ nonlinear conjugate gradient,
-    # ops/cg.minimize_cg_trace), or "bfgs" (dense inverse-Hessian BFGS,
-    # ops/bfgs.minimize_bfgs_trace — O(d²), for moderate d) — the
-    # fit/ELBO stages consume only the emitted trace, so any optimizer
-    # that records a trajectory plugs in.
+    # ops/cg.minimize_cg_trace), "bfgs" (dense inverse-Hessian BFGS,
+    # ops/bfgs.minimize_bfgs_trace — O(d²), moderate d), or "newton"
+    # (modified Newton consuming the order-2 hess= capability,
+    # ops/newton.minimize_newton_trace — O(d³)/iter) — the fit/ELBO
+    # stages consume only the emitted trace, so any optimizer that
+    # records a trajectory plugs in.
     # An eval-driven fused L-BFGS alternative was built, benchmarked at
     # ≤4% gain, and removed in round 2; see NOTES.md
     optimizer: str = "lbfgs"
@@ -448,7 +450,7 @@ def pathfinder(
     target = as_log_density(
         target_input, dim=dim,
         grad=None if tld is not None else grad,
-        hess=None if tld is not None else hess,
+        hess=hess,  # hess+transform already raised above
     )
     if ndraws is None:
         ndraws = ndraws_elbo

@@ -209,6 +209,31 @@ def test_newton_optimizer_order2_capability():
         )
 
 
+def test_newton_escapes_saddle_with_bounded_steps():
+    """Near a saddle the Hessian is indefinite; the saddle-free |λ|
+    modification must produce BOUNDED descent steps (clamping λ→δ would
+    amplify the negative-curvature component by 1/δ ≈ 1e8, a step the
+    line search cannot recover — the trajectory silently died there)."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.ops.newton import minimize_newton_trace
+
+    def logp(x):  # minima of -logp at x2 = ±1; saddle at the origin
+        return -(0.5 * x[0] ** 2 - 0.5 * x[1] ** 2 + 0.25 * x[1] ** 4)
+
+    vg = jax.value_and_grad(logp)
+    hess = jax.hessian(logp)
+    x0 = jnp.asarray([0.1, 0.01])  # near the saddle, tiny x2 gradient
+    trace = minimize_newton_trace(vg, x0, hess=hess, maxiters=60)
+    n = int(trace.num_valid)
+    assert n >= 3  # made real progress, not a dead first line search
+    x_end = np.asarray(trace.xs[n - 1])
+    assert abs(abs(x_end[1]) - 1.0) < 1e-3  # reached a minimum
+    assert abs(x_end[0]) < 1e-3
+    lps = np.asarray(trace.log_densities[:n])
+    assert np.all(np.diff(lps) > -1e-9)  # monotone ascent throughout
+
+
 def test_unknown_optimizer_raises():
     with pytest.raises(ValueError, match="unknown optimizer"):
         pathfinder(
