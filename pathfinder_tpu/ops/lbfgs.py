@@ -179,8 +179,9 @@ def scale_aware_gtol(gtol_user, g0, dtype):
     for such targets while O(1)+ problems keep the measured floor. The
     floor is deliberately NOT raised for large-scale problems (that would
     override an explicit user gtol); there the ``ftol`` relative-progress
-    stall already terminates noise-floor trajectories. Shared by the
-    L-BFGS and CG drivers so their stopping semantics stay identical."""
+    stall already terminates noise-floor trajectories. Shared by all
+    four trajectory drivers (lbfgs/cg/bfgs/newton) so their stopping
+    semantics stay identical."""
     floor = 25 * jnp.finfo(dtype).eps
     g0_scale = jnp.max(jnp.abs(g0))
     g0_scale = jnp.where(
