@@ -261,3 +261,30 @@ def test_unknown_line_search_raises():
             StandardNormal(2), key=jax.random.key(0), maxiters=10,
             line_search="exact",
         )
+
+
+@pytest.mark.parametrize("opt", ["bfgs", "newton"])
+def test_lazy_replay_properties_under_new_optimizers(opt):
+    """The lazy fit_distributions / elbo_estimates replay reconstructs
+    from the TRACE, whatever optimizer produced it — verify index-for-
+    index agreement with the stored core outputs for the dense-BFGS and
+    Newton trajectories (previously only lbfgs/cg traces were replayed)."""
+    from pathfinder_tpu.models import CorrelatedGaussian
+
+    r = pathfinder(
+        CorrelatedGaussian(4, seed=2), key=jax.random.key(1),
+        optimizer=opt, maxiters=40, ndraws=20,
+    )
+    ev = np.asarray(r.elbo_values)
+    est = r.elbo_estimates
+    mask = ~np.isnan(ev)
+    assert mask.any()
+    np.testing.assert_allclose(np.asarray(est.value)[mask], ev[mask], rtol=1e-5)
+    # NaN-mask agreement between stored and replayed stats
+    assert (np.isnan(np.asarray(est.value)) == ~mask).all()
+    w = jax.tree_util.tree_map(
+        lambda leaf: leaf[r.fit_iteration], r.fit_distributions
+    )
+    np.testing.assert_allclose(
+        np.asarray(w.mean), np.asarray(r.fit_distribution.mean), rtol=1e-6
+    )
