@@ -52,6 +52,62 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+# relay ports of the axon loopback tunnel (/root/.tpu_init.py PORTS); the
+# first one is the PJRT control leg, which is what backend init dials
+_RELAY_PORTS = (8082, 8083, 8087, 8092)
+
+
+def ensure_backend_reachable():
+    """Fail over to CPU when the TPU relay is dead, instead of hanging.
+
+    The axon PJRT client blocks FOREVER inside ``make_c_api_client`` when
+    the relay listener is gone (connection refused on every relay port —
+    observed round 3 when the relay process died mid-session and stayed
+    down). A hung bench means the driver records NO artifact at all, which
+    is strictly worse than a clearly-labeled CPU number. So: probe the
+    relay socket before any backend init; give it a bounded grace window
+    (``PATHFINDER_RELAY_WAIT_S``, default 120 s — the driver may be
+    restarting it); if still unreachable, switch JAX to the CPU backend
+    (``jax.config.update`` — the ``JAX_PLATFORMS`` env var is ignored once
+    the axon plugin is registered) and mark the artifact.
+
+    Returns a dict merged into the JSON ``extra`` ({} on the normal path,
+    a ``platform_fallback`` marker on the CPU path).
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return {}
+    import socket
+
+    def _reachable():
+        for port in _RELAY_PORTS:
+            s = socket.socket()
+            s.settimeout(2.0)
+            try:
+                s.connect(("127.0.0.1", port))
+                return True
+            except OSError:
+                pass
+            finally:
+                s.close()
+        return False
+
+    deadline = time.time() + float(
+        os.environ.get("PATHFINDER_RELAY_WAIT_S", "120")
+    )
+    while not _reachable():
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            _log(
+                "TPU relay DOWN (connection refused on all relay ports) — "
+                "falling back to CPU; timings below are NOT TPU numbers"
+            )
+            jax.config.update("jax_platforms", "cpu")
+            return {"platform_fallback": "cpu (TPU relay down)"}
+        _log(f"TPU relay unreachable; retrying for {int(remaining)}s...")
+        time.sleep(min(10.0, remaining))
+    return {}
+
+
 def _cache_file_count():
     try:
         return len(os.listdir(CACHE_DIR))
@@ -70,6 +126,7 @@ def device_breakdown():
     devs = jax.devices()
     b["backend_init_s"] = round(time.perf_counter() - t0, 3)
     b["device"] = str(devs[0])
+    b["platform"] = devs[0].platform
     t0 = time.perf_counter()
     x = jnp.ones(())
     np.asarray(x + 1.0)
@@ -605,6 +662,7 @@ def run_nuts_bench(d=50, num_samples=2000, num_warmup=300):
 
 
 def main():
+    fallback = ensure_backend_reachable()
     if "--nuts" in sys.argv:
         run_nuts_bench()
         return
@@ -620,6 +678,7 @@ def main():
         run_all_configs()
         return
     breakdown = device_breakdown()
+    breakdown.update(fallback)
     _log(f"breakdown: {breakdown}")
     if "--warm-cache" in sys.argv:
         stats = run_bench(repeats=0, oracle=False, breakdown=breakdown)
@@ -634,6 +693,7 @@ def main():
         "extra": {
             k: stats[k]
             for k in (
+                "platform", "platform_fallback",
                 "elapsed_s", "times_s", "rtt_s", "elapsed_minus_rtt_s",
                 "paths_per_sec_device_only", "import_jax_s",
                 "backend_init_s", "device_probe_s", "trace_lower_s",
