@@ -371,7 +371,7 @@ def _sync(out):
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
 
 
-def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=3,
+def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
               oracle=True, breakdown=None):
     from pathfinder_tpu.models.zoo import HierarchicalGaussian
     from pathfinder_tpu.singlepath import PathfinderConfig

@@ -1,0 +1,96 @@
+"""Headline-config optimizer comparison on real TPU (round-4 worklist b).
+
+Runs the full multipathfinder pipeline (d=1000 HierarchicalGaussian,
+100 paths, ndraws=1000 — BASELINE.json headline) once per trajectory
+optimizer and prints one JSON line per optimizer with steady-state time,
+khat, moment errors, and eval counts. Reuses bench.py's pipeline builder
+so the measurement convention matches the official artifact.
+
+Motivation (NOTES.md round-4 worklist): on every small-d CPU target the
+Newton trajectory's candidate locations beat both quasi-Newton
+trajectories on funnel-like geometry (khat 0.15-0.20); this measures
+whether that holds at the d=1000 headline, where Newton costs d
+hessian-vector products per iteration.
+
+Usage: python benchmarks/optimizer_comparison.py [opt ...]
+  (default: lbfgs cg bfgs; newton must be requested explicitly — at
+  d=1000 its derived-Hessian path is O(d) JVPs per iteration and may
+  take minutes to compile/run)
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402
+
+
+def main():
+    import jax
+
+    opts = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        "lbfgs", "cg", "bfgs"
+    ]
+    extra = bench.ensure_backend_reachable()
+    bd = bench.device_breakdown()
+    print(f"# platform={bd['platform']} rtt_s={bd['rtt_s']}",
+          file=sys.stderr, flush=True)
+
+    from pathfinder_tpu.models.zoo import HierarchicalGaussian
+    from pathfinder_tpu.singlepath import PathfinderConfig
+
+    d, n_paths, ndraws = 1000, 100, 1000
+    target = HierarchicalGaussian(d, seed=0)
+    mean_true, sd_true = bench.hierarchical_truth(d, seed=0)
+
+    for opt in opts:
+        config = PathfinderConfig(
+            maxiters=64,
+            history_length=6,
+            ndraws_elbo=5,
+            ndraws=max(5, ndraws // n_paths),
+            elbo_chunk=8,
+            optimizer=opt,
+        )
+        full_run = bench._make_full_run(d, n_paths, config, target)
+        fn = jax.jit(full_run)
+        t0 = time.perf_counter()
+        out = fn(jax.random.key(0))
+        bench._sync(out)
+        compile_s = time.perf_counter() - t0
+        times, khats = [], []
+        for r in range(3):
+            t0 = time.perf_counter()
+            out = fn(jax.random.key(r + 1))
+            bench._sync(out)
+            times.append(time.perf_counter() - t0)
+            khats.append(round(float(out[1]), 3))
+        (draws, khat, success, nevals, n_elbo, num_valid, num_exh,
+         comp_means) = out
+        me, se = bench._moment_errors(draws, mean_true, sd_true)
+        rec = {
+            "optimizer": opt,
+            "elapsed_s": round(min(times), 4),
+            "times_s": [round(t, 4) for t in times],
+            "compile_plus_first_s": round(compile_s, 1),
+            "paths_per_sec": round(n_paths / min(times), 1),
+            "khat": khats[-1],
+            "khat_per_repeat": khats,
+            "n_success": int(np.asarray(success).sum()),
+            "logp_grad_evals": int(np.asarray(nevals).sum()),
+            "mean_trajectory_len": round(
+                float(np.asarray(num_valid).mean() - 1), 1
+            ),
+            "moment_err_mean_sd_units": round(me, 3),
+            "moment_err_sd_rel": round(se, 3),
+            **extra,
+        }
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
