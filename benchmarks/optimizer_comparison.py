@@ -19,10 +19,11 @@ Usage: python benchmarks/optimizer_comparison.py [opt ...]
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 

@@ -213,7 +213,8 @@ def multipathfinder(
 
     ``optimizer="auto"`` (beyond-reference) runs the full pipeline under
     each optimizer in ``auto_optimizers`` (default ``("lbfgs", "cg")``;
-    any subset of lbfgs/cg/bfgs/newton) and returns the result with the
+    any mix of lbfgs/cg/bfgs/newton names and custom trace-contract
+    callables, see ``ops/optimizers.py``) and returns the result with the
     lower Pareto-k̂ — which optimizer produces better-located components
     is target-dependent while the ELBO cannot tell (measured; see
     ``docs/examples/resampling.md``). A NaN k̂ with near-uniform weights
@@ -221,7 +222,8 @@ def multipathfinder(
     k̂s rank last. Cost = one full run per optimizer; requires
     ``importance=True``.
     """
-    _KNOWN_OPTS = ("lbfgs", "cg", "bfgs", "newton")
+    from pathfinder_tpu.ops.optimizers import OPTIMIZERS as _KNOWN_OPTS
+
     auto_set = config_overrides.pop("auto_optimizers", None)
     if auto_set is not None and config_overrides.get("optimizer") != "auto":
         raise ValueError(
@@ -234,17 +236,23 @@ def multipathfinder(
         elif isinstance(auto_set, str):
             # a bare string would iterate per character
             auto_set = (auto_set,)
+        elif callable(auto_set):
+            auto_set = (auto_set,)
         else:
             auto_set = tuple(auto_set)
         if not auto_set:
             raise ValueError("auto_optimizers must name at least one optimizer")
-        bad = [o for o in auto_set if o not in _KNOWN_OPTS]
+        bad = [
+            o for o in auto_set
+            if not (o in _KNOWN_OPTS or (callable(o) and not isinstance(o, str)))
+        ]
         if bad:
             # validate up front — a typo discovered inside the Nth
             # sub-run would waste every earlier full pipeline
             raise ValueError(
                 f"unknown auto_optimizers entries {bad}; choose from "
-                f"{_KNOWN_OPTS}"
+                f"{tuple(_KNOWN_OPTS)} or pass callables with the "
+                "minimize_*_trace contract"
             )
         # Run both trajectory optimizers and let the Pareto-k̂ diagnostic
         # arbitrate (k̂ as a VI fit-quality diagnostic, Yao et al. 2018).

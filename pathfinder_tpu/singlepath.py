@@ -40,7 +40,6 @@ from pathfinder_tpu.ops.lbfgs import (
     lbfgs_fits_at,
     lbfgs_history_aux,
     lbfgs_inverse_hessians,
-    minimize_lbfgs_trace,
 )
 from pathfinder_tpu.ops.mvnormal import MvNormal, fit_mvnormal
 
@@ -84,14 +83,17 @@ class PathfinderConfig(NamedTuple):
     # src/singlepath.jl:120-123, test/optimize.jl:104-135). "lbfgs"
     # (default), "cg" (PR+ nonlinear conjugate gradient,
     # ops/cg.minimize_cg_trace), "bfgs" (dense inverse-Hessian BFGS,
-    # ops/bfgs.minimize_bfgs_trace — O(d²), moderate d), or "newton"
+    # ops/bfgs.minimize_bfgs_trace — O(d²), moderate d), "newton"
     # (modified Newton consuming the order-2 hess= capability,
-    # ops/newton.minimize_newton_trace — O(d³)/iter) — the fit/ELBO
+    # ops/newton.minimize_newton_trace — O(d³)/iter), or ANY callable
+    # honoring the minimize_*_trace contract (ops/optimizers.py — the
+    # user-supplied-optimizer parity path; hashable, reuse one function
+    # object across calls for jit-cache stability) — the fit/ELBO
     # stages consume only the emitted trace, so any optimizer that
     # records a trajectory plugs in.
     # An eval-driven fused L-BFGS alternative was built, benchmarked at
     # ≤4% gain, and removed in round 2; see NOTES.md
-    optimizer: str = "lbfgs"
+    optimizer: Any = "lbfgs"
     # line search: "hager_zhang" (approximate Wolfe + secant², matching the
     # reference default LineSearches.HagerZhang, src/Pathfinder.jl:25-35),
     # "wolfe" (strong-Wolfe bracket/zoom), or "backtracking" (Armijo-only)
@@ -163,36 +165,9 @@ def pathfinder_core(
         # a zero/negative chunk would surface as a raw ZeroDivisionError /
         # negative-shape error from inside the trace
         raise ValueError(f"elbo_chunk must be >= 1, got {cfg.elbo_chunk}")
-    if cfg.optimizer == "lbfgs":
-        minimize = minimize_lbfgs_trace
-    elif cfg.optimizer == "cg":
-        from pathfinder_tpu.ops.cg import minimize_cg_trace
+    from pathfinder_tpu.ops.optimizers import resolve_optimizer
 
-        minimize = minimize_cg_trace
-    elif cfg.optimizer == "bfgs":
-        from pathfinder_tpu.ops.bfgs import minimize_bfgs_trace
-
-        minimize = minimize_bfgs_trace
-    elif cfg.optimizer == "newton":
-        from functools import partial as _partial
-
-        from pathfinder_tpu.models.protocol import cached_hessian
-        from pathfinder_tpu.ops.newton import minimize_newton_trace
-
-        hess_fn = (
-            target.hess
-            if getattr(target, "hess", None) is not None
-            else cached_hessian(target.logp)
-        )
-        minimize = _partial(minimize_newton_trace, hess=hess_fn)
-    elif cfg.optimizer == "auto":
-        raise ValueError(
-            "optimizer='auto' is a multipathfinder feature (it selects by "
-            "the multipath Pareto-k̂ diagnostic); a single path has no "
-            "selection signal — pick 'lbfgs', 'cg', 'bfgs', or 'newton' explicitly"
-        )
-    else:
-        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    minimize = resolve_optimizer(cfg.optimizer, target, dim=x0.shape[0])
 
     trace = minimize(
         target.value_and_grad,

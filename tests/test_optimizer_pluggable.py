@@ -288,3 +288,106 @@ def test_lazy_replay_properties_under_new_optimizers(opt):
     np.testing.assert_allclose(
         np.asarray(w.mean), np.asarray(r.fit_distribution.mean), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# user-supplied optimizer callables (reference parity: ANY Optimization.jl
+# optimizer is accepted, src/singlepath.jl:120-123, and the suite plugs in
+# a foreign NLopt optimizer, test/optimize.jl:104-135)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_ascent_trace(
+    value_and_grad, x0, maxiters=1000, **_ignored_driver_kwargs
+):
+    """Trivial foreign optimizer: fixed-step gradient ascent emitting the
+    shared OptimizationTrace contract (ops/optimizers.py docstring)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pathfinder_tpu.ops.lbfgs import OptimizationTrace
+
+    f0, g0 = value_and_grad(x0)
+
+    def step(carry, _):
+        x, _, g = carry
+        x_new = x + 0.5 * g
+        f_new, g_new = value_and_grad(x_new)
+        return (x_new, f_new, g_new), (x_new, f_new, g_new)
+
+    _, (xs, fs, gs) = lax.scan(step, (x0, f0, g0), None, length=maxiters)
+    return OptimizationTrace(
+        xs=jnp.concatenate([x0[None], xs]),
+        log_densities=jnp.concatenate([f0[None], fs]),
+        gradients=jnp.concatenate([g0[None], gs]),
+        num_valid=jnp.asarray(maxiters + 1),
+        num_bfgs_updates_rejected=jnp.asarray(0),
+        num_fn_evals=jnp.asarray(maxiters + 1),
+        num_ls_exhausted=jnp.asarray(0),
+    )
+
+
+def test_user_supplied_optimizer_single_path():
+    """optimizer=<callable> runs the full single-path pipeline: the fit /
+    ELBO / draw stages consume only the trace."""
+    target = StandardNormal(4)
+    res = pathfinder(
+        target, key=jax.random.key(0), maxiters=40,
+        optimizer=_gradient_ascent_trace, ndraws=50,
+    )
+    assert res.success
+    assert int(res.optim_trace.num_valid) == 41  # the foreign trace shape
+    np.testing.assert_allclose(
+        np.asarray(res.fit_distribution.mean), np.zeros(4), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.fit_distribution.cov.to_dense()), np.eye(4), atol=1e-3
+    )
+
+
+def test_user_supplied_optimizer_multipath_and_auto():
+    """The callable plugs into multipathfinder directly and as an
+    auto_optimizers candidate alongside built-in names."""
+    from pathfinder_tpu.multipath import multipathfinder
+
+    target = StandardNormal(3)
+    res = multipathfinder(
+        target, 40, key=jax.random.key(1), nruns=4, maxiters=25,
+        optimizer=_gradient_ascent_trace,
+    )
+    assert np.asarray(res.states.success).all()
+    assert np.isfinite(np.asarray(res.draws)).all()
+
+    res_auto = multipathfinder(
+        target, 40, key=jax.random.key(1), nruns=4, maxiters=25,
+        optimizer="auto", auto_optimizers=("lbfgs", _gradient_ascent_trace),
+    )
+    assert np.isfinite(np.asarray(res_auto.draws)).all()
+
+
+def test_optimizer_registry_rejects_non_callable():
+    with pytest.raises(TypeError, match="optimizer must be"):
+        pathfinder(
+            StandardNormal(2), key=jax.random.key(0), maxiters=10,
+            optimizer=3,
+        )
+
+
+def test_newton_large_dim_warns():
+    """VERDICT r03 #7: the derived-Hessian Newton path warns at runtime
+    when it will materialize a (d, d) Hessian at large d."""
+    from pathfinder_tpu.models.protocol import as_log_density
+    from pathfinder_tpu.ops.optimizers import resolve_optimizer
+
+    import jax.numpy as jnp
+
+    target = as_log_density(lambda x: -0.5 * jnp.sum(x * x), dim=2500)
+    with pytest.warns(UserWarning, match="optimizer='newton' at d=2500"):
+        resolve_optimizer("newton", target, dim=2500)
+    # below the threshold: silent
+    import warnings as _w
+
+    small = as_log_density(lambda x: -0.5 * jnp.sum(x * x), dim=10)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        resolve_optimizer("newton", small, dim=10)
