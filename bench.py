@@ -166,6 +166,50 @@ def _moment_errors(draws, mean_true, sd_true):
     return mean_err, sd_err
 
 
+def _quality_spread(rows):
+    """Aggregate per-key quality dicts into median + ``*_range`` columns.
+
+    VERDICT r03 task 3: every quality number is seed-dependent (measured
+    headline khat spread 1.6-2.2, funnel khat crossed the 1.0 verdict
+    boundary between r03 artifacts), so artifacts report median and
+    [min, max] over ≥5 keys instead of a single draw. khat columns
+    additionally get a verdict string (reference thresholds,
+    ``src/multipath.jl:54-63``) and a ``*_verdict_stable`` flag that is
+    False when the spread crosses a verdict boundary.
+    """
+    from pathfinder_tpu.ops.psis import pareto_k_verdict
+
+    out = {}
+    for name in rows[0]:
+        vals = np.asarray([r[name] for r in rows], dtype=float)
+        finite = vals[np.isfinite(vals)]
+        if finite.size == 0:
+            out[name] = float("nan")
+            if name.startswith("khat"):
+                out[name + "_verdict"] = pareto_k_verdict(float("nan"))
+            continue
+        out[name] = round(float(np.median(finite)), 3)
+        out[name + "_range"] = [
+            round(float(finite.min()), 3), round(float(finite.max()), 3)
+        ]
+        if vals.size != finite.size:
+            out[name + "_n_nonfinite"] = int(vals.size - finite.size)
+        if name.startswith("khat"):
+            out[name + "_verdict"] = pareto_k_verdict(out[name])
+            out[name + "_verdict_stable"] = bool(
+                vals.size == finite.size
+                and pareto_k_verdict(float(finite.min()))
+                == pareto_k_verdict(float(finite.max()))
+            )
+    return out
+
+
+def _spread_over_keys(run, quality, seeds):
+    """Run ``run(key(s))`` for each seed and aggregate ``quality(result)``
+    dicts with :func:`_quality_spread`."""
+    return _quality_spread([quality(run(jax.random.key(s))) for s in seeds])
+
+
 def oracle_khats(d, comp_means, ndraws_per_comp, ndraws_out, seed=0):
     """Best-possible-Gaussian baselines for the headline khat (VERDICT r02
     task 2): is khat ≈ 2 at d=1000 inherent to importance-weighting this
@@ -315,7 +359,7 @@ def oracle_khats(d, comp_means, ndraws_per_comp, ndraws_out, seed=0):
     return out
 
 
-def _make_full_run(d, n_paths, config, target):
+def _make_full_run(d, n_paths, config, target, init_scale=2.0):
     from pathfinder_tpu.multipath import (
         _compute_psis_result,
         _select_component_fits,
@@ -332,7 +376,7 @@ def _make_full_run(d, n_paths, config, target):
         )
         x0s = jax.vmap(
             lambda k: jax.random.uniform(
-                k, (d,), jnp.float32, minval=-2.0, maxval=2.0
+                k, (d,), jnp.float32, minval=-init_scale, maxval=init_scale
             )
         )(keys)
         states = executor(keys, x0s, target, config)
@@ -419,14 +463,27 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
     if repeats == 0:  # --warm-cache: compile + one run only
         return stats
 
+    mean_true, sd_true = hierarchical_truth(d, seed=0)
     times = []
     khats = []
+    quality_rows = []
     for r in range(repeats):
         t0 = time.perf_counter()
         out = compiled(jax.random.key(r + 1))
         _sync(out)
         times.append(time.perf_counter() - t0)
         khats.append(round(float(out[1]), 3))
+        # per-repeat quality (after the clock stops — the draws fetch is
+        # not part of the timed pipeline)
+        me_r, se_r = _moment_errors(out[0], mean_true, sd_true)
+        quality_rows.append(
+            {"khat": float(out[1]), "moment_err_mean_sd_units": me_r,
+             "moment_err_sd_rel": se_r,
+             # eval counts are key-dependent (different inits → different
+             # line-search trajectories); the r03 "drift" 5101→5317 was
+             # single-key reporting, so carry the spread
+             "logp_grad_evals": float(np.asarray(out[3]).sum())}
+        )
     _log(f"times: {[round(t, 4) for t in times]}  khats: {khats}")
 
     (draws, khat, success, nevals, n_elbo, num_valid, num_exh,
@@ -441,7 +498,6 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
         paths_per_sec_device_only=round(
             n_paths / max(elapsed - rtt, 1e-9), 2
         ),
-        khat=round(float(khat), 3),
         khat_per_repeat=khats,  # khat is seed-dependent (measured spread
         # ~1.7-2.2 at the headline config); the list shows it in-artifact
         n_success=int(success.sum()),
@@ -453,10 +509,9 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
     nv = np.asarray(num_valid)
     stats["frac_paths_capped"] = float(np.mean(nv - 1 >= maxiters))
     stats["ls_exhaustions"] = int(np.asarray(num_exh).sum())
-    mean_true, sd_true = hierarchical_truth(d, seed=0)
-    me, se = _moment_errors(draws, mean_true, sd_true)
-    stats["moment_err_mean_sd_units"] = round(me, 3)
-    stats["moment_err_sd_rel"] = round(se, 3)
+    # khat / moment errors as median + range over the repeat keys
+    # (VERDICT r03 task 3)
+    stats.update(_quality_spread(quality_rows))
 
     if oracle:
         _log("oracle-khat experiment (exact-moment Gaussians, same "
@@ -504,48 +559,48 @@ def run_all_configs():
 
     results = []
 
+    # quality columns are median + [min, max] over these keys (≥5 per
+    # config, VERDICT r03 task 3); timing stays min-of-3 on the first key
+    nkeys = 5
+
     # config 1: single-path 5-D diagonal Gaussian, ndraws=100
     target1 = StandardNormal(5)
-    t, res = _time_call(
-        lambda k: pathfinder(target1, key=k, ndraws=100, maxiters=32),
-        jax.random.key(1),
+    run1 = lambda k: pathfinder(target1, key=k, ndraws=100, maxiters=32)  # noqa: E731
+    t, res = _time_call(run1, jax.random.key(1))
+    q1 = _spread_over_keys(
+        run1,
+        lambda r: dict(zip(
+            ("moment_err_mean", "moment_err_sd"),
+            _moment_errors(r.draws, np.zeros(5), np.ones(5)),
+        )),
+        range(1, 1 + nkeys),
     )
-    me, se = _moment_errors(res.draws, np.zeros(5), np.ones(5))
     results.append(
         ("singlepath_5d_diag_gaussian_s", t,
-         {"success": bool(res.success), "moment_err_mean": round(me, 3),
-          "moment_err_sd": round(se, 3)})
+         {"success": bool(res.success), **q1})
     )
 
     # config 2: single-path 100-D correlated Gaussian (dense Woodbury path)
     target2 = CorrelatedGaussian(100, seed=0)
-    t, res = _time_call(
-        lambda k: pathfinder(
-            target2, key=k, ndraws=2000, maxiters=128, history_length=20,
-            ndraws_elbo=100,
-        ),
-        jax.random.key(2),
+    run2 = lambda k: pathfinder(  # noqa: E731
+        target2, key=k, ndraws=2000, maxiters=128, history_length=20,
+        ndraws_elbo=100,
     )
-    me, se = _moment_errors(
-        res.draws, target2.mean, np.sqrt(np.diag(target2.cov))
+    t, res = _time_call(run2, jax.random.key(2))
+    sd2 = np.sqrt(np.diag(target2.cov))
+    q2 = _spread_over_keys(
+        run2,
+        lambda r: dict(zip(
+            ("moment_err_mean", "moment_err_sd"),
+            _moment_errors(r.draws, target2.mean, sd2),
+        )),
+        range(2, 2 + nkeys),
     )
     results.append(
         ("singlepath_100d_correlated_gaussian_s", t,
-         {"success": bool(res.success), "moment_err_mean": round(me, 3),
-          "moment_err_sd": round(se, 3)})
+         {"success": bool(res.success), **q2})
     )
 
-    # config 3: multipath 8 paths + PSIS on 101-D Neal's funnel
-    # marginal truth: v ~ N(0, 3^2); x_i marginally mean 0, var E[e^v]=e^{4.5}
-    target3 = NealsFunnel(101)
-    t, res = _time_call(
-        lambda k: multipathfinder(
-            target3, 400, key=k, nruns=8, maxiters=128, ntries=4
-        ),
-        jax.random.key(3),
-    )
-    sd3 = np.concatenate([[3.0], np.full(100, np.exp(4.5 / 2))])
-    me, se = _moment_errors(res.draws, np.zeros(101), sd3)
     from pathfinder_tpu.multipath import _compute_psis_result
 
     def _khat_mixture(r):
@@ -558,46 +613,72 @@ def run_all_configs():
             ).pareto_shape
         )
 
-    khat_mix3 = _khat_mixture(res)
+    # config 3: multipath 8 paths + PSIS on 101-D Neal's funnel
+    # marginal truth: v ~ N(0, 3^2); x_i marginally mean 0, var E[e^v]=e^{4.5}
+    target3 = NealsFunnel(101)
+    run3 = lambda k: multipathfinder(  # noqa: E731
+        target3, 400, key=k, nruns=8, maxiters=128, ntries=4
+    )
+    t, res = _time_call(run3, jax.random.key(3))
+    sd3 = np.concatenate([[3.0], np.full(100, np.exp(4.5 / 2))])
+
+    def _quality3(r):
+        me, se = _moment_errors(r.draws, np.zeros(101), sd3)
+        return {
+            "khat": float(r.psis_result.pareto_shape),
+            "khat_mixture_denom": _khat_mixture(r),
+            "moment_err_mean": me, "moment_err_sd": se,
+        }
+
     results.append(
         ("multipath_8paths_funnel101_s", t,
-         {"khat": round(float(res.psis_result.pareto_shape), 3),
-          "khat_mixture_denom": round(khat_mix3, 3),
-          "moment_err_mean": round(me, 3), "moment_err_sd": round(se, 3)})
+         _spread_over_keys(run3, _quality3, range(3, 3 + nkeys)))
     )
 
     # config 4: Bayesian logistic regression d=25, 32 paths
     X, y, _ = german_credit_synthetic(n=1000, d=25, seed=0)
     target4 = LogisticRegression(X.astype(np.float32), y.astype(np.float32))
-    t, res = _time_call(
-        lambda k: multipathfinder(target4, 1000, key=k, nruns=32, maxiters=64),
-        jax.random.key(4),
+    run4 = lambda k: multipathfinder(  # noqa: E731
+        target4, 1000, key=k, nruns=32, maxiters=64
     )
-    extra4 = {"khat": round(float(res.psis_result.pareto_shape), 3)}
-    extra4["khat_mixture_denom"] = round(_khat_mixture(res), 3)
+    t, res = _time_call(run4, jax.random.key(4))
     truth_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "logreg25_truth.npz",
     )
-    if os.path.exists(truth_path):  # long in-repo NUTS referee (see
-        # benchmarks/compute_logreg_truth.py)
-        truth = np.load(truth_path)
-        me, se = _moment_errors(res.draws, truth["mean"], truth["sd"])
-        extra4["moment_err_mean"] = round(me, 3)
-        extra4["moment_err_sd"] = round(se, 3)
-    results.append(("multipath_32paths_logreg25_s", t, extra4))
+    # long in-repo NUTS referee (see benchmarks/compute_logreg_truth.py)
+    truth = np.load(truth_path) if os.path.exists(truth_path) else None
+
+    def _quality4(r):
+        row = {
+            "khat": float(r.psis_result.pareto_shape),
+            "khat_mixture_denom": _khat_mixture(r),
+        }
+        if truth is not None:
+            me, se = _moment_errors(r.draws, truth["mean"], truth["sd"])
+            row["moment_err_mean"] = me
+            row["moment_err_sd"] = se
+        return row
+
+    results.append(
+        ("multipath_32paths_logreg25_s", t,
+         _spread_over_keys(run4, _quality4, range(4, 4 + nkeys)))
+    )
 
     # config 5: 1000-path multipathfinder on 1000-D hierarchical posterior
+    # (run_bench reports the spread over its repeat keys itself)
     stats5 = run_bench(
-        d=1000, n_paths=1000, maxiters=64, ndraws=10_000, repeats=2,
+        d=1000, n_paths=1000, maxiters=64, ndraws=10_000, repeats=nkeys,
         oracle=False,
     )
     results.append(
         ("multipath_1000paths_hierarchical1000d_s", stats5["elapsed_s"],
-         {"khat": stats5["khat"],
-          "frac_paths_capped": stats5["frac_paths_capped"],
-          "moment_err_mean": stats5["moment_err_mean_sd_units"],
-          "moment_err_sd": stats5["moment_err_sd_rel"]})
+         {k: stats5[k] for k in (
+             "khat", "khat_range", "khat_verdict", "khat_verdict_stable",
+             "frac_paths_capped",
+             "moment_err_mean_sd_units", "moment_err_mean_sd_units_range",
+             "moment_err_sd_rel", "moment_err_sd_rel_range",
+         ) if k in stats5})
     )
 
     for name, t, extra in results:
@@ -698,12 +779,15 @@ def main():
                 "paths_per_sec_device_only", "import_jax_s",
                 "backend_init_s", "device_probe_s", "trace_lower_s",
                 "xla_compile_s", "new_cache_files", "first_run_s",
-                "compile_total_s", "khat", "khat_per_repeat",
+                "compile_total_s", "khat", "khat_range", "khat_verdict",
+                "khat_verdict_stable", "khat_per_repeat",
                 "khat_oracle_mixture",
                 "khat_oracle_moment", "n_success", "n_paths",
-                "logp_grad_evals", "elbo_evals_per_sec", "finite_draws",
+                "logp_grad_evals", "logp_grad_evals_range",
+                "elbo_evals_per_sec", "finite_draws",
                 "frac_paths_capped", "ls_exhaustions",
-                "moment_err_mean_sd_units", "moment_err_sd_rel",
+                "moment_err_mean_sd_units", "moment_err_mean_sd_units_range",
+                "moment_err_sd_rel", "moment_err_sd_rel_range",
                 "moment_err_mean_oracle_mixture",
                 "moment_err_mean_oracle_moment",
                 "moment_err_sd_oracle_mixture",

@@ -58,36 +58,56 @@ def main():
             optimizer=opt,
         )
         full_run = bench._make_full_run(d, n_paths, config, target)
-        fn = jax.jit(full_run)
+        # decompose trace / XLA-compile / first-run like bench.py so a
+        # persistent-cache hit is distinguishable from a real compile
+        # when comparing across optimizers (ADVICE r03)
+        t0 = time.perf_counter()
+        lowered = jax.jit(full_run).lower(jax.random.key(0))
+        trace_s = time.perf_counter() - t0
+        n_cache_before = bench._cache_file_count()
+        t0 = time.perf_counter()
+        fn = lowered.compile()
+        xla_s = time.perf_counter() - t0
+        new_cache_files = bench._cache_file_count() - n_cache_before
         t0 = time.perf_counter()
         out = fn(jax.random.key(0))
         bench._sync(out)
-        compile_s = time.perf_counter() - t0
-        times, khats = [], []
+        first_run_s = time.perf_counter() - t0
+        compile_s = trace_s + xla_s + first_run_s
+        times, khats, quality_rows = [], [], []
         for r in range(3):
             t0 = time.perf_counter()
             out = fn(jax.random.key(r + 1))
             bench._sync(out)
             times.append(time.perf_counter() - t0)
             khats.append(round(float(out[1]), 3))
+            me_r, se_r = bench._moment_errors(out[0], mean_true, sd_true)
+            quality_rows.append(
+                {"khat": float(out[1]), "moment_err_mean_sd_units": me_r,
+                 "moment_err_sd_rel": se_r}
+            )
         (draws, khat, success, nevals, n_elbo, num_valid, num_exh,
          comp_means) = out
-        me, se = bench._moment_errors(draws, mean_true, sd_true)
         rec = {
             "optimizer": opt,
             "elapsed_s": round(min(times), 4),
             "times_s": [round(t, 4) for t in times],
             "compile_plus_first_s": round(compile_s, 1),
+            "trace_lower_s": round(trace_s, 2),
+            "xla_compile_s": round(xla_s, 2),
+            "first_run_s": round(first_run_s, 2),
+            # 0 = persistent-cache hit (the compile column is then not a
+            # real compile); >0 = fresh XLA compile
+            "new_cache_files": new_cache_files,
             "paths_per_sec": round(n_paths / min(times), 1),
-            "khat": khats[-1],
             "khat_per_repeat": khats,
+            # khat / moment errors as median + range over the repeat keys
+            **bench._quality_spread(quality_rows),
             "n_success": int(np.asarray(success).sum()),
             "logp_grad_evals": int(np.asarray(nevals).sum()),
             "mean_trajectory_len": round(
                 float(np.asarray(num_valid).mean() - 1), 1
             ),
-            "moment_err_mean_sd_units": round(me, 3),
-            "moment_err_sd_rel": round(se, 3),
             **extra,
         }
         print(json.dumps(rec), flush=True)

@@ -219,17 +219,36 @@ def multipathfinder(
     is target-dependent while the ELBO cannot tell (measured; see
     ``docs/examples/resampling.md``). A NaN k̂ with near-uniform weights
     (ESS ≈ N — a perfect fit's zero-variance tail) ranks best; other NaN
-    k̂s rank last. Cost = one full run per optimizer; requires
-    ``importance=True``.
+    k̂s rank last. Candidates run in ``auto_optimizers`` order and stop
+    early as soon as one reaches k̂ < ``auto_khat_early_exit`` (default
+    0.7, the reference's "ok" verdict boundary, ``src/multipath.jl:54-63``;
+    pass ``None`` to always run every candidate) — so on targets where the
+    first optimizer already fits well, auto costs ONE run, not the sum.
+    Worst case (no candidate under the threshold) = one full run per
+    optimizer. Requires ``importance=True``.
     """
     from pathfinder_tpu.ops.optimizers import OPTIMIZERS as _KNOWN_OPTS
 
     auto_set = config_overrides.pop("auto_optimizers", None)
+    _sentinel = object()
+    auto_khat_early_exit = config_overrides.pop(
+        "auto_khat_early_exit", _sentinel
+    )
     if auto_set is not None and config_overrides.get("optimizer") != "auto":
         raise ValueError(
             "auto_optimizers requires optimizer='auto' (it names the "
             "candidates the auto mode runs)"
         )
+    if (
+        auto_khat_early_exit is not _sentinel
+        and config_overrides.get("optimizer") != "auto"
+    ):
+        raise ValueError(
+            "auto_khat_early_exit requires optimizer='auto' (it bounds "
+            "the auto mode's candidate competition)"
+        )
+    if auto_khat_early_exit is _sentinel:
+        auto_khat_early_exit = 0.7  # the "ok" verdict boundary
     if config_overrides.get("optimizer") == "auto":
         if auto_set is None:
             auto_set = ("lbfgs", "cg")
@@ -276,14 +295,6 @@ def multipathfinder(
             init_sampler=init_sampler, gtol=gtol, mesh=mesh, dtype=dtype,
             progress=progress, transform=transform,
         )
-        candidates = {
-            opt: multipathfinder(
-                fn, ndraws, **shared,
-                **{**config_overrides, "optimizer": opt},
-            )
-            for opt in auto_set
-        }
-
         def _khat(r):
             k = float(r.psis_result.pareto_shape)
             if k == k:
@@ -306,6 +317,22 @@ def multipathfinder(
                 else float("inf")
             )
 
+        candidates = {}
+        for opt in auto_set:
+            r = multipathfinder(
+                fn, ndraws, **shared,
+                **{**config_overrides, "optimizer": opt},
+            )
+            candidates[opt] = r
+            # early exit (VERDICT r03 task 4): a candidate at "ok" or
+            # better ends the competition — later candidates could at
+            # best improve an already-acceptable fit, and each one costs
+            # a full pipeline run
+            if (
+                auto_khat_early_exit is not None
+                and _khat(r) < auto_khat_early_exit
+            ):
+                break
         return candidates[min(candidates, key=lambda o: _khat(candidates[o]))]
 
     from pathfinder_tpu.integrations.transforms import (

@@ -28,7 +28,24 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["PSISResult", "psis", "gpdfit"]
+__all__ = ["PSISResult", "psis", "gpdfit", "pareto_k_verdict"]
+
+
+def pareto_k_verdict(k: float) -> str:
+    """Quality verdict for a Pareto-k̂ with the reference's thresholds
+    (``src/multipath.jl:54-63``). NaN means the diagnostic could not be
+    computed (tail too short, degenerate ratios, failed GPD fit) — reported
+    as ``"not computed"``, never as a quality verdict."""
+    k = float(k)
+    if k != k:  # NaN: falls through every comparison below
+        return "not computed"
+    if k > 1:
+        return "very bad"
+    if k > 0.7:
+        return "bad"
+    if k > 0.5:
+        return "ok"
+    return "good"
 
 
 class PSISResult(NamedTuple):
@@ -49,20 +66,8 @@ class PSISResult(NamedTuple):
     @property
     def diagnosis(self) -> str:
         """Quality verdict with the reference's thresholds
-        (``src/multipath.jl:54-63``). ``pareto_shape`` is NaN when the
-        diagnostic could not be computed (tail too short, degenerate
-        ratios, failed GPD fit) — reported as ``"not computed"``, never as
-        a quality verdict."""
-        k = float(self.pareto_shape)
-        if k != k:  # NaN: falls through every comparison below
-            return "not computed"
-        if k > 1:
-            return "very bad"
-        if k > 0.7:
-            return "bad"
-        if k > 0.5:
-            return "ok"
-        return "good"
+        (``src/multipath.jl:54-63``); see :func:`pareto_k_verdict`."""
+        return pareto_k_verdict(self.pareto_shape)
 
 
 def tail_length(reff: float, S: int) -> int:

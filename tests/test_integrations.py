@@ -78,22 +78,32 @@ def test_warm_start_exports():
 
     try:
         import blackjax  # noqa: F401
-
-        bj = metric.to_blackjax()
-        keys = jax.random.split(jax.random.key(2), 100_000)
-        ps = jax.vmap(bj.sample_momentum)(keys)
-        emp_cov = np.cov(np.asarray(ps).T)
-        np.testing.assert_allclose(
-            emp_cov, np.linalg.inv(W_dense), atol=0.05, rtol=0.15
-        )
-        p = jnp.asarray(rng.standard_normal(6))
-        np.testing.assert_allclose(
-            float(bj.kinetic_energy(p)), 0.5 * np.asarray(p) @ W_dense @ np.asarray(p),
-            rtol=1e-6,
-        )
     except ImportError:
         with pytest.raises(ImportError, match="BlackJAX"):
             metric.to_blackjax()
+
+
+@pytest.mark.realpkgs
+def test_to_blackjax_real():
+    """Momentum covariance and kinetic energy of the exported blackjax
+    Metric against the dense fit (runs only with real blackjax; the
+    contract is otherwise pinned by ``test_to_blackjax_contract_with_mock``)."""
+    pytest.importorskip("blackjax", reason="BlackJAX not installed")
+    rng = np.random.default_rng(3)
+    metric, W_dense = make_metric(rng)
+    bj = metric.to_blackjax()
+    keys = jax.random.split(jax.random.key(2), 100_000)
+    ps = jax.vmap(bj.sample_momentum)(keys)
+    emp_cov = np.cov(np.asarray(ps).T)
+    np.testing.assert_allclose(
+        emp_cov, np.linalg.inv(W_dense), atol=0.05, rtol=0.15
+    )
+    p = jnp.asarray(rng.standard_normal(6))
+    np.testing.assert_allclose(
+        float(bj.kinetic_energy(p)),
+        0.5 * np.asarray(p) @ W_dense @ np.asarray(p),
+        rtol=1e-6,
+    )
 
 
 def test_to_blackjax_contract_with_mock(monkeypatch):

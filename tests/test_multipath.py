@@ -223,6 +223,7 @@ def test_optimizer_auto_custom_set_and_perfect_fit_rank():
     res = multipathfinder(
         target, 60, key=jax.random.key(15), nruns=4, maxiters=40,
         optimizer="auto", auto_optimizers=("lbfgs", "newton"),
+        auto_khat_early_exit=None,  # exhaustive competition
     )
     # newton's exact fit wins via the uniform-weight ESS rule
     assert res.config.optimizer == "newton"
@@ -256,7 +257,9 @@ def test_optimizer_auto_custom_set_and_perfect_fit_rank():
 def test_optimizer_auto_selects_by_khat():
     """optimizer="auto" runs both optimizers and returns the lower-k̂
     result (k̂ as fit diagnostic, Yao et al. 2018 — beyond-reference)."""
-    r_auto, _ = run_multi(key=11, nruns=6, optimizer="auto")
+    r_auto, _ = run_multi(
+        key=11, nruns=6, optimizer="auto", auto_khat_early_exit=None
+    )
     r_l, _ = run_multi(key=11, nruns=6, optimizer="lbfgs")
     r_c, _ = run_multi(key=11, nruns=6, optimizer="cg")
     k_auto = float(r_auto.psis_result.pareto_shape)
@@ -269,6 +272,44 @@ def test_optimizer_auto_selects_by_khat():
     np.testing.assert_array_equal(
         np.asarray(r_auto.draws), np.asarray(winner.draws)
     )
+
+
+def test_optimizer_auto_early_exit():
+    """A first candidate at k̂ < auto_khat_early_exit (default 0.7, the
+    "ok" verdict boundary) ends the competition without running later
+    candidates (VERDICT r03 task 4: auto ≈ one run on easy targets);
+    auto_khat_early_exit=None restores the exhaustive competition."""
+    from pathfinder_tpu.ops.lbfgs import minimize_lbfgs_trace
+
+    target = StandardNormal(4)
+    calls = []
+
+    def spy_optimizer(value_and_grad, x0, **kw):
+        calls.append(1)
+        return minimize_lbfgs_trace(value_and_grad, x0, **kw)
+
+    kw = dict(
+        key=jax.random.key(21), nruns=4, maxiters=40,
+        optimizer="auto", auto_optimizers=("lbfgs", spy_optimizer),
+    )
+    res = multipathfinder(target, 60, **kw)
+    # lbfgs on a standard normal fits well under the 0.7 boundary, so the
+    # spy candidate must never have been traced
+    assert float(res.psis_result.pareto_shape) < 0.7 or (
+        float(res.psis_result.ess)
+        / res.psis_result.weights.shape[0] >= 0.99
+    )
+    assert res.config.optimizer == "lbfgs"
+    assert not calls
+    # threshold None → the spy candidate runs
+    multipathfinder(target, 60, auto_khat_early_exit=None, **kw)
+    assert calls
+    # validation: the kwarg is auto-mode-only
+    with pytest.raises(ValueError, match="requires optimizer='auto'"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            auto_khat_early_exit=0.5,
+        )
 
 
 def test_optimizer_auto_requires_importance():

@@ -616,6 +616,7 @@ def test_from_numpyro_mock_full_contract(monkeypatch):
     )
 
 
+@pytest.mark.realpkgs
 def test_from_numpyro_real():
     numpyro = pytest.importorskip("numpyro", reason="NumPyro not installed")
     import numpyro.distributions as dist

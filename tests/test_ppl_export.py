@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pathfinder_tpu.integrations.ppl import draws_to_dict, to_inference_data
 from pathfinder_tpu.integrations.transforms import Exp, TransformedLogDensity
@@ -54,3 +55,18 @@ def test_to_inference_data_fallback():
         assert set(out) == {"x0", "x1"}
     else:  # pragma: no cover
         assert hasattr(out, "posterior")
+
+
+@pytest.mark.realpkgs
+def test_to_inference_data_real():
+    """With real ArviZ installed, the export is an InferenceData whose
+    posterior carries the draws with (chain, draw) leading axes."""
+    pytest.importorskip("arviz", reason="ArviZ not installed")
+    res = pathfinder(
+        StandardNormal(2), key=jax.random.key(2), ndraws=10, maxiters=20
+    )
+    out = to_inference_data(res)
+    assert hasattr(out, "posterior")
+    post = out.posterior
+    assert set(post.data_vars) == {"x0", "x1"}
+    assert post["x0"].values.shape[-1] == 10
