@@ -31,7 +31,14 @@ import jax  # noqa: E402
 
 def main():
     args = [a for a in sys.argv[1:]]
-    scales = [float(a) for a in args if not a.startswith("--") and _isfloat(a)]
+    # positional scales end at the first --flag (so a flag's value is not
+    # parsed as a scale)
+    pos = []
+    for a in args:
+        if a.startswith("--"):
+            break
+        pos.append(a)
+    scales = [float(a) for a in pos if _isfloat(a)]
     if not scales:
         scales = [2.0, 1.0, 0.5, 0.25]
     opts = ("lbfgs", "cg")

@@ -32,6 +32,9 @@ def test_run_bench_smoke_with_oracle(bench_module):
         "khat_oracle_moment", "n_success", "logp_grad_evals",
         "frac_paths_capped", "moment_err_mean_sd_units",
         "moment_err_mean_oracle_moment",
+        # seed-spread columns (VERDICT r03 task 3)
+        "khat_range", "khat_verdict", "khat_verdict_stable",
+        "moment_err_mean_sd_units_range", "logp_grad_evals_range",
     ):
         assert key in stats, key
     assert stats["n_success"] == 8
@@ -44,6 +47,29 @@ def test_run_bench_smoke_with_oracle(bench_module):
         stats["moment_err_mean_oracle_moment"]
         < stats["moment_err_mean_sd_units"]
     )
+
+
+def test_quality_spread_semantics(bench_module):
+    """Median + range aggregation, NaN accounting, and verdict-boundary
+    stability flags (VERDICT r03 task 3)."""
+    qs = bench_module._quality_spread
+
+    out = qs([{"khat": 0.95, "me": 1.0}, {"khat": 1.1, "me": 2.0},
+              {"khat": float("nan"), "me": 1.5}])
+    assert out["khat"] == 1.025 and out["khat_range"] == [0.95, 1.1]
+    assert out["khat_n_nonfinite"] == 1
+    assert out["khat_verdict"] == "very bad"
+    # the range crosses the 1.0 boundary (and a repeat was NaN): unstable
+    assert out["khat_verdict_stable"] is False
+    assert out["me"] == 1.5 and out["me_range"] == [1.0, 2.0]
+    assert "me_verdict" not in out  # verdicts only for khat columns
+
+    out2 = qs([{"khat": 0.60}, {"khat": 0.65}])
+    assert out2["khat_verdict"] == "ok" and out2["khat_verdict_stable"] is True
+
+    out3 = qs([{"khat": float("nan")}])
+    assert out3["khat"] != out3["khat"]  # NaN median preserved
+    assert out3["khat_verdict"] == "not computed"
 
 
 def test_hierarchical_truth_matches_zoo(bench_module):
