@@ -249,6 +249,10 @@ def multipathfinder(
         )
     if auto_khat_early_exit is _sentinel:
         auto_khat_early_exit = 0.7  # the "ok" verdict boundary
+    elif auto_khat_early_exit is not None:
+        # fail fast — a bad threshold discovered after the first full
+        # candidate run would waste the whole pipeline
+        auto_khat_early_exit = float(auto_khat_early_exit)
     if config_overrides.get("optimizer") == "auto":
         if auto_set is None:
             auto_set = ("lbfgs", "cg")

@@ -310,6 +310,11 @@ def test_optimizer_auto_early_exit():
             target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
             auto_khat_early_exit=0.5,
         )
+    # a non-numeric threshold fails fast at the call boundary — before any
+    # candidate pipeline runs (a late failure would waste the whole run)
+    with pytest.raises((TypeError, ValueError)):
+        multipathfinder(target, 10, auto_khat_early_exit="bogus", **kw)
+    assert len(calls) == 1  # the spy never ran again
 
 
 def test_optimizer_auto_requires_importance():
