@@ -4,7 +4,13 @@ from pathfinder_tpu.integrations.hmc import (
     hmc_warm_start,
     leapfrog,
 )
-from pathfinder_tpu.integrations.nuts import NUTSResult, nuts, nuts_chains, nuts_warm_start
+from pathfinder_tpu.integrations.nuts import (
+    NUTSResult,
+    nuts,
+    nuts_chains,
+    nuts_warm_start,
+    warm_start_chains,
+)
 from pathfinder_tpu.integrations.ppl import (
     draws_to_dict,
     from_numpyro,
@@ -28,6 +34,7 @@ __all__ = [
     "nuts",
     "nuts_chains",
     "nuts_warm_start",
+    "warm_start_chains",
     "NUTSResult",
     "from_numpyro",
     "draws_to_dict",

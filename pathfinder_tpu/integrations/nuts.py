@@ -38,7 +38,13 @@ from pathfinder_tpu.integrations.hmc import (
     leapfrog_step,
 )
 
-__all__ = ["nuts", "nuts_chains", "nuts_warm_start", "NUTSResult"]
+__all__ = [
+    "nuts",
+    "nuts_chains",
+    "nuts_warm_start",
+    "warm_start_chains",
+    "NUTSResult",
+]
 
 _MAX_DELTA_H = 1000.0  # divergence threshold (Stan's default)
 
@@ -300,6 +306,14 @@ class NUTSResult(NamedTuple):
     step_size: jax.Array  # ()
     # (d,) adapted diagonal M⁻¹ when adapt_mass_matrix=True, else None
     inv_mass_diag: Optional[jax.Array] = None
+    # exact leapfrog counts per transition — each leapfrog is exactly one
+    # logp+grad evaluation, so these are the sampler's cost ledger (the
+    # reference's headline claim is fewer gradient evals than NUTS warmup,
+    # docs/src/index.md:11; these make that comparison exact, Stan's
+    # n_leapfrog__ analog). Total evals = 1 (initial point)
+    # + sum(warmup_n_leapfrogs) + sum(n_leapfrogs).
+    n_leapfrogs: Optional[jax.Array] = None  # (num_samples,) int32
+    warmup_n_leapfrogs: Optional[jax.Array] = None  # (num_warmup,) int32
 
 
 def _warmup_schedule(num_warmup, init_buffer, term_buffer, base_window):
@@ -455,13 +469,15 @@ def nuts(
 
             return (
                 (x_n, logp_n, g_n, da_n, minv, (cnt, mean, m2)),
-                (x_n, astat, logp_n, tree.depth, tree.diverging),
+                (x_n, astat, logp_n, tree.depth, tree.diverging,
+                 tree.n_leaves),
             )
 
         keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
         carry = (x0, logp0, g0, da0, metric.minv, wf0)
-        carry, _ = lax.scan(step, carry, (keys_w, slow_flags, win_end_flags))
+        carry, ys_w = lax.scan(step, carry, (keys_w, slow_flags, win_end_flags))
         x, logp, g, da, minv_final, _ = carry
+        warmup_n_leapfrogs = ys_w[5]
         metric = WoodburyMetric(minv_final)
         inv_mass_diag = minv_final.diag()
     else:
@@ -475,12 +491,14 @@ def nuts(
             )
             return (
                 (x_n, logp_n, g_n, da_update(da, astat, target_accept)),
-                (x_n, astat, logp_n, tree.depth, tree.diverging),
+                (x_n, astat, logp_n, tree.depth, tree.diverging,
+                 tree.n_leaves),
             )
 
         keys_w = jax.random.split(jax.random.fold_in(key, 0), num_warmup)
-        carry, _ = lax.scan(step, (x0, logp0, g0, da0), keys_w)
+        carry, ys_w = lax.scan(step, (x0, logp0, g0, da0), keys_w)
         x, logp, g, da = carry
+        warmup_n_leapfrogs = ys_w[5]
         inv_mass_diag = None
     eps_final = jnp.exp(da[2])
 
@@ -491,10 +509,14 @@ def nuts(
         x_n, logp_n, g_n, astat, tree = _nuts_transition(
             k, value_and_grad, metric, pt0, eps_final, max_depth
         )
-        return (x_n, logp_n, g_n), (x_n, logp_n, astat, tree.depth, tree.diverging)
+        return (x_n, logp_n, g_n), (
+            x_n, logp_n, astat, tree.depth, tree.diverging, tree.n_leaves
+        )
 
     keys_s = jax.random.split(jax.random.fold_in(key, 1), num_samples)
-    _, (xs, lps, astats, depths, divs) = lax.scan(sample_step, (x, logp, g), keys_s)
+    _, (xs, lps, astats, depths, divs, n_lf) = lax.scan(
+        sample_step, (x, logp, g), keys_s
+    )
     # A non-finite starting logp (x0 outside the support, or a NaN
     # gradient) makes every reservoir weight infinite and the chain would
     # silently return num_samples copies of x0 with healthy-looking
@@ -512,6 +534,8 @@ def nuts(
         diverging=divs | ~ok0,
         step_size=eps_final,
         inv_mass_diag=inv_mass_diag,
+        n_leapfrogs=n_lf,
+        warmup_n_leapfrogs=warmup_n_leapfrogs,
     )
 
 
@@ -636,6 +660,40 @@ def _nuts_vmapped(
             base_window=base_window,
         )
     )(keys, x0s)
+
+
+def warm_start_chains(result, n_chains: int, *, draw_indices=None):
+    """``(value_and_grad, metric, x0s)`` for a multi-chain NUTS/HMC warm
+    start from a Pathfinder result — the reference's headline workflow
+    (initial points + metric, ``docs/src/examples/initializing-hmc.md:13-17``)
+    for ``C`` chains in one call::
+
+        vg, metric, x0s = warm_start_chains(result, 4)
+        out, summary = nuts_chains(key, vg, metric, x0s, num_warmup=100)
+
+    ``draw_indices`` selects which of the result's (PSIS-resampled for
+    multipath) draws become chain inits; default the first ``n_chains``.
+    The metric is shared across chains: the fit covariance (single path)
+    or the component of the first selected draw (multipath — no single
+    Woodbury matrix represents a mixture; see
+    :meth:`WoodburyMetric.from_result`)."""
+    from pathfinder_tpu.integrations.hmc import (
+        resolve_result_value_and_grad,
+    )
+
+    ndraws = result.draws.shape[1]
+    if draw_indices is None:
+        draw_indices = range(min(n_chains, ndraws))
+    draw_indices = list(draw_indices)
+    if len(draw_indices) != n_chains:
+        raise ValueError(
+            f"need {n_chains} chain inits but the result has only "
+            f"{ndraws} draws; rerun with more ndraws or pass draw_indices"
+        )
+    vg = resolve_result_value_and_grad(result)
+    metric = WoodburyMetric.from_result(result, draw_indices[0])
+    x0s = result.draws[:, jnp.asarray(draw_indices)].T
+    return vg, metric, x0s
 
 
 def nuts_warm_start(

@@ -267,6 +267,46 @@ def test_hmc_warm_start_on_transform_aware_result():
     assert abs(float(np.mean(np.asarray(nchain["mu"]))) - 1.25) < 0.6
 
 
+def test_warm_start_chains_on_transform_aware_result():
+    """``warm_start_chains`` (multi-chain packaging) on a BayesModel
+    multipath result: the resolved target must be the linked unconstrained
+    density and the inits the unconstrained draws (the recorded lesson:
+    every result-consuming entry point gets a transform-aware test)."""
+    import jax.numpy as jnp
+
+    from pathfinder_tpu.integrations.nuts import (
+        nuts_chains,
+        warm_start_chains,
+    )
+    from pathfinder_tpu.models.bayes import BayesModel, HalfNormal, Normal
+    from pathfinder_tpu.multipath import multipathfinder
+
+    obs = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+    model = BayesModel(
+        {"mu": Normal(0.0, 5.0), "sigma": HalfNormal(2.0)},
+        loglikelihood=lambda p: jnp.sum(
+            -0.5 * ((obs - p["mu"]) / p["sigma"]) ** 2 - jnp.log(p["sigma"])
+        ),
+    )
+    res = multipathfinder(
+        model, 32, key=jax.random.key(5), nruns=4, maxiters=50
+    )
+    vg, metric, x0s = warm_start_chains(res, 2)
+    # the resolved density is the linked one: finite at any real vector
+    # (a constrained-space density would be -inf/NaN at sigma <= 0)
+    lp, g = vg(jnp.asarray([0.0, -3.0]))
+    assert np.isfinite(float(lp)) and np.all(np.isfinite(np.asarray(g)))
+    out, summary = nuts_chains(
+        jax.random.key(6), vg, metric, x0s,
+        num_samples=200, num_warmup=100, max_depth=6,
+    )
+    # constrained view of every chain is in-support
+    flat = jnp.asarray(out.samples).reshape(-1, 2).T
+    chain = model.draws_to_chain(flat)
+    assert np.all(np.asarray(chain["sigma"]) > 0)
+    assert abs(float(np.mean(np.asarray(chain["mu"]))) - 1.25) < 0.6
+
+
 def test_bijector_jacobians_vs_autodiff():
     z = jnp.asarray(np.random.default_rng(4).standard_normal(5))
     for bij in [Identity(), Exp(), Interval(-1.0, 2.5)]:

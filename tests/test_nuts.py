@@ -73,6 +73,71 @@ def test_nuts_preconditioned_depth_small():
     assert ess.min() > 1000  # near-iid given perfect preconditioning
 
 
+def test_nuts_leapfrog_ledger():
+    """n_leapfrogs / warmup_n_leapfrogs are the exact per-transition
+    logp+grad eval counts (Stan's n_leapfrog__ analog): positive, bounded
+    by the tree-doubling budget 2^depth - 1, and present in both the
+    adaptive and fixed-metric warmup branches."""
+    d = 3
+    vg = jax.value_and_grad(lambda x: -0.5 * jnp.sum(x * x))
+    for adapt in (False, True):
+        out = nuts(
+            jax.random.key(7), vg, None if adapt else identity_metric(d),
+            jnp.ones(d), num_samples=200, num_warmup=100,
+            adapt_mass_matrix=adapt,
+        )
+        n_lf = np.asarray(out.n_leapfrogs)
+        w_lf = np.asarray(out.warmup_n_leapfrogs)
+        depths = np.asarray(out.tree_depths)
+        assert n_lf.shape == (200,) and w_lf.shape == (100,)
+        assert np.all(n_lf >= 1) and np.all(w_lf >= 1)
+        # each doubling at depth j integrates at most 2^j new leaves
+        assert np.all(n_lf <= 2 ** depths.astype(np.int64) - 1 + (depths == 0))
+        assert np.all(n_lf >= depths)
+
+
+def test_warm_start_chains_multipath():
+    """warm_start_chains packages (vg, metric, x0s) for nuts_chains from a
+    multipath result: inits are PSIS draws, the metric is the first
+    selected draw's component covariance, and the chains recover the
+    target."""
+    from pathfinder_tpu.integrations.nuts import (
+        nuts_chains,
+        warm_start_chains,
+    )
+    from pathfinder_tpu.multipath import multipathfinder
+
+    d = 5
+    target = CorrelatedGaussian(d, seed=4)
+    res = multipathfinder(
+        target, 64, key=jax.random.key(3), nruns=4, maxiters=60,
+        history_length=d,
+    )
+    vg, metric, x0s = warm_start_chains(res, 4)
+    assert x0s.shape == (4, d)
+    np.testing.assert_array_equal(
+        np.asarray(x0s), np.asarray(res.draws[:, :4].T)
+    )
+    # metric component matches the first draw's component id
+    k0 = int(res.draw_component_ids[0])
+    np.testing.assert_array_equal(
+        np.asarray(metric.minv.to_dense()),
+        np.asarray(res.fit_distribution.component(k0).cov.to_dense()),
+    )
+    out, summary = nuts_chains(
+        jax.random.key(4), vg, metric, x0s,
+        num_samples=500, num_warmup=200,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.samples).reshape(-1, d).mean(0), target.mean,
+        atol=0.2,
+    )
+    assert float(np.max(np.asarray(summary["rhat"]))) < 1.05
+    # asking for more chains than draws is a loud error
+    with pytest.raises(ValueError, match="chain inits"):
+        warm_start_chains(res, 65)
+
+
 def test_nuts_warm_start_from_pathfinder():
     d = 5
     target = CorrelatedGaussian(d, seed=4)
