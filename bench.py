@@ -416,7 +416,7 @@ def _sync(out):
 
 
 def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
-              oracle=True, breakdown=None):
+              oracle=True, breakdown=None, remedy=True):
     from pathfinder_tpu.models.zoo import HierarchicalGaussian
     from pathfinder_tpu.singlepath import PathfinderConfig
 
@@ -525,6 +525,45 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
             "khat=%.2f vs oracle mixture %.2f / oracle moment-matched %.2f"
             % (stats["khat"], stats["khat_oracle_mixture"],
                stats["khat_oracle_moment"])
+        )
+
+    if remedy:
+        # The documented remedy for the headline "very bad" verdict is
+        # optimizer="cg" / "auto" (docs/examples/resampling.md; measured
+        # khat 0.94-1.7 vs lbfgs ~2 at this config, OPTCOMP_r04) — run it
+        # through the SAME pipeline on the SAME keys so the artifact
+        # carries both the default's verdict and the remedy's, next to
+        # the oracle ceilings.
+        from pathfinder_tpu.singlepath import PathfinderConfig as _PC
+
+        assert isinstance(config, _PC)
+        _log("remedy run (optimizer='cg', same keys)...")
+        full_run_cg = jax.jit(
+            _make_full_run(d, n_paths, config._replace(optimizer="cg"),
+                           target)
+        )
+        out_cg = full_run_cg(key0)
+        _sync(out_cg)
+        rows_cg, times_cg = [], []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            out_cg = full_run_cg(jax.random.key(r + 1))
+            _sync(out_cg)
+            times_cg.append(time.perf_counter() - t0)
+            me_c, se_c = _moment_errors(out_cg[0], mean_true, sd_true)
+            rows_cg.append(
+                {"khat_cg": float(out_cg[1]),
+                 "moment_err_mean_sd_units_cg": me_c,
+                 "moment_err_sd_rel_cg": se_c}
+            )
+        stats.update(_quality_spread(rows_cg))
+        stats["elapsed_cg_s"] = round(min(times_cg), 4)
+        rng = stats.get("khat_cg_range") or (float("nan"), float("nan"))
+        _log(
+            "remedy khat_cg=%.2f [%.2f-%.2f] (%s) at %.3fs vs default %.3fs"
+            % (stats["khat_cg"], rng[0], rng[1],
+               stats.get("khat_cg_verdict"), stats["elapsed_cg_s"],
+               elapsed)
         )
     return stats
 
@@ -669,7 +708,8 @@ def run_all_configs():
     # (run_bench reports the spread over its repeat keys itself)
     stats5 = run_bench(
         d=1000, n_paths=1000, maxiters=64, ndraws=10_000, repeats=nkeys,
-        oracle=False,
+        oracle=False, remedy=False,  # the remedy column lives on the
+        # headline artifact; at K=1000 it would double this config's cost
     )
     results.append(
         ("multipath_1000paths_hierarchical1000d_s", stats5["elapsed_s"],
@@ -751,7 +791,7 @@ def main():
         # tracing/profiling hook (SURVEY §5: new, not ported — the reference
         # has no profiler integration)
         with jax.profiler.trace("/tmp/pathfinder_tpu_trace"):
-            stats = run_bench(repeats=1, oracle=False)
+            stats = run_bench(repeats=1, oracle=False, remedy=False)
         _log("profiler trace written to /tmp/pathfinder_tpu_trace")
         _log(str(stats))
         return
@@ -782,7 +822,13 @@ def main():
                 "compile_total_s", "khat", "khat_range", "khat_verdict",
                 "khat_verdict_stable", "khat_per_repeat",
                 "khat_oracle_mixture",
-                "khat_oracle_moment", "n_success", "n_paths",
+                "khat_oracle_moment",
+                "khat_cg", "khat_cg_range", "khat_cg_verdict",
+                "khat_cg_verdict_stable", "elapsed_cg_s",
+                "moment_err_mean_sd_units_cg",
+                "moment_err_mean_sd_units_cg_range",
+                "moment_err_sd_rel_cg", "moment_err_sd_rel_cg_range",
+                "n_success", "n_paths",
                 "logp_grad_evals", "logp_grad_evals_range",
                 "elbo_evals_per_sec", "finite_draws",
                 "frac_paths_capped", "ls_exhaustions",

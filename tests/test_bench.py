@@ -35,6 +35,10 @@ def test_run_bench_smoke_with_oracle(bench_module):
         # seed-spread columns (VERDICT r03 task 3)
         "khat_range", "khat_verdict", "khat_verdict_stable",
         "moment_err_mean_sd_units_range", "logp_grad_evals_range",
+        # the documented remedy (optimizer="cg") measured through the
+        # same pipeline on the same keys
+        "khat_cg", "khat_cg_verdict", "elapsed_cg_s",
+        "moment_err_mean_sd_units_cg",
     ):
         assert key in stats, key
     assert stats["n_success"] == 8
