@@ -188,14 +188,18 @@ def _quality_spread(rows):
             if name.startswith("khat"):
                 out[name + "_verdict"] = pareto_k_verdict(float("nan"))
             continue
-        out[name] = round(float(np.median(finite)), 3)
+        median = float(np.median(finite))
+        out[name] = round(median, 3)
         out[name + "_range"] = [
             round(float(finite.min()), 3), round(float(finite.max()), 3)
         ]
         if vals.size != finite.size:
             out[name + "_n_nonfinite"] = int(vals.size - finite.size)
         if name.startswith("khat"):
-            out[name + "_verdict"] = pareto_k_verdict(out[name])
+            # verdict from the UNROUNDED median: the thresholds are
+            # strict (k > 0.7), so a median of 0.7004 rounded to 0.7
+            # would misreport "ok" for a "bad" run
+            out[name + "_verdict"] = pareto_k_verdict(median)
             out[name + "_verdict_stable"] = bool(
                 vals.size == finite.size
                 and pareto_k_verdict(float(finite.min()))
@@ -415,6 +419,32 @@ def _sync(out):
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
 
 
+def _timed_quality_repeats(compiled, repeats, mean_true, sd_true,
+                           suffix="", extra=None):
+    """Timed steady-state repeats on keys 1..repeats with a per-key
+    quality row each (khat + moment errors, column names suffixed by
+    ``suffix``; the draws fetch happens AFTER the clock stops — it is
+    not part of the timed pipeline). ``extra(out)`` may add columns.
+    Returns ``(times, rows, last_out)``. Single home for the timing/
+    fetch convention shared by the default and remedy runs."""
+    times, rows, out = [], [], None
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = compiled(jax.random.key(r + 1))
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+        me, se = _moment_errors(out[0], mean_true, sd_true)
+        row = {
+            "khat" + suffix: float(out[1]),
+            "moment_err_mean_sd_units" + suffix: me,
+            "moment_err_sd_rel" + suffix: se,
+        }
+        if extra is not None:
+            row.update(extra(out))
+        rows.append(row)
+    return times, rows, out
+
+
 def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
               oracle=True, breakdown=None, remedy=True):
     from pathfinder_tpu.models.zoo import HierarchicalGaussian
@@ -464,26 +494,14 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
         return stats
 
     mean_true, sd_true = hierarchical_truth(d, seed=0)
-    times = []
-    khats = []
-    quality_rows = []
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        out = compiled(jax.random.key(r + 1))
-        _sync(out)
-        times.append(time.perf_counter() - t0)
-        khats.append(round(float(out[1]), 3))
-        # per-repeat quality (after the clock stops — the draws fetch is
-        # not part of the timed pipeline)
-        me_r, se_r = _moment_errors(out[0], mean_true, sd_true)
-        quality_rows.append(
-            {"khat": float(out[1]), "moment_err_mean_sd_units": me_r,
-             "moment_err_sd_rel": se_r,
-             # eval counts are key-dependent (different inits → different
-             # line-search trajectories); the r03 "drift" 5101→5317 was
-             # single-key reporting, so carry the spread
-             "logp_grad_evals": float(np.asarray(out[3]).sum())}
-        )
+    times, quality_rows, out = _timed_quality_repeats(
+        compiled, repeats, mean_true, sd_true,
+        # eval counts are key-dependent (different inits → different
+        # line-search trajectories); the r03 "drift" 5101→5317 was
+        # single-key reporting, so carry the spread
+        extra=lambda o: {"logp_grad_evals": float(np.asarray(o[3]).sum())},
+    )
+    khats = [round(r["khat"], 3) for r in quality_rows]
     _log(f"times: {[round(t, 4) for t in times]}  khats: {khats}")
 
     (draws, khat, success, nevals, n_elbo, num_valid, num_exh,
@@ -544,18 +562,9 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
         )
         out_cg = full_run_cg(key0)
         _sync(out_cg)
-        rows_cg, times_cg = [], []
-        for r in range(repeats):
-            t0 = time.perf_counter()
-            out_cg = full_run_cg(jax.random.key(r + 1))
-            _sync(out_cg)
-            times_cg.append(time.perf_counter() - t0)
-            me_c, se_c = _moment_errors(out_cg[0], mean_true, sd_true)
-            rows_cg.append(
-                {"khat_cg": float(out_cg[1]),
-                 "moment_err_mean_sd_units_cg": me_c,
-                 "moment_err_sd_rel_cg": se_c}
-            )
+        times_cg, rows_cg, _ = _timed_quality_repeats(
+            full_run_cg, repeats, mean_true, sd_true, suffix="_cg"
+        )
         stats.update(_quality_spread(rows_cg))
         stats["elapsed_cg_s"] = round(min(times_cg), 4)
         rng = stats.get("khat_cg_range") or (float("nan"), float("nan"))

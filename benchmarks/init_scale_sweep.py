@@ -30,26 +30,17 @@ import jax  # noqa: E402
 
 
 def main():
-    args = [a for a in sys.argv[1:]]
-    # positional scales end at the first --flag (so a flag's value is not
-    # parsed as a scale)
-    pos = []
-    for a in args:
-        if a.startswith("--"):
-            break
-        pos.append(a)
-    scales = [float(a) for a in pos if _isfloat(a)]
-    if not scales:
-        scales = [2.0, 1.0, 0.5, 0.25]
-    opts = ("lbfgs", "cg")
-    if "--opt" in args:
-        i = args.index("--opt")
-        opts = tuple(
-            a for a in args[i + 1:] if not a.startswith("--") and not _isfloat(a)
-        )
-    nkeys = 3
-    if "--keys" in args:
-        nkeys = int(args[args.index("--keys") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("scales", type=float, nargs="*",
+                    default=[2.0, 1.0, 0.5, 0.25])
+    ap.add_argument("--opt", nargs="+", default=["lbfgs", "cg"])
+    ap.add_argument("--keys", type=int, default=3)
+    ns = ap.parse_args()
+    scales = ns.scales or [2.0, 1.0, 0.5, 0.25]
+    opts = tuple(ns.opt)
+    nkeys = ns.keys
 
     extra = bench.ensure_backend_reachable()
     bd = bench.device_breakdown()
@@ -97,14 +88,6 @@ def main():
                 **extra,
             }
             print(json.dumps(out_rec), flush=True)
-
-
-def _isfloat(s):
-    try:
-        float(s)
-        return True
-    except ValueError:
-        return False
 
 
 if __name__ == "__main__":

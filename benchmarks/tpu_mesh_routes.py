@@ -4,7 +4,10 @@ itself is exercised on the 8-device virtual CPU mesh by
 ``__graft_entry__.dryrun_multichip``; what single-chip hardware CAN
 validate is that the two mesh code paths — shard_map (paths axis) and
 GSPMD annotations (combined paths×dim mesh) — compile and execute on the
-real TPU toolchain and reproduce the unsharded results bit-for-bit).
+real TPU toolchain and reproduce the unsharded results — success mask
+and fit iterations exactly, draws to allclose atol=1e-6; bit-identity
+of the float trajectories is only asserted on the CPU dryrun, since
+sharded XLA lowering may regroup FMAs at the last ulp).
 
 Prints one JSON line per route.
 """
@@ -44,9 +47,8 @@ def main():
     )
 
     def run(executor, mesh=None):
-        full = bench._make_full_run(d, n_paths, config, target)
-        # _make_full_run builds its own unsharded executor; rebuild with
-        # the requested one by re-jitting around the executor directly
+        # (bench._make_full_run builds its own unsharded executor, so
+        # build a step around the requested executor directly)
         def step(key):
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(n_paths)

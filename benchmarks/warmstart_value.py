@@ -89,13 +89,15 @@ def _quality(chains_samples, mean_true, sd_true):
 
 
 def _nuts_eval_ledger(out):
-    """Exact logp+grad evals across all chains: one initial-point eval per
-    chain (nuts() evaluates x0 once) plus every leapfrog."""
+    """Exact logp+grad evals across all chains per ``nuts_chains`` call:
+    every leapfrog, plus TWO non-leapfrog evals per chain — the
+    host-boundary Stan-style init validation batch (nuts.py
+    ``nuts_chains``) and the initial-point eval inside ``nuts()``."""
     C = out.samples.shape[0]
     warm = int(np.asarray(out.warmup_n_leapfrogs).sum())
     samp = int(np.asarray(out.n_leapfrogs).sum())
     return {
-        "nuts_warmup_vg_evals": warm + C,
+        "nuts_warmup_vg_evals": warm + 2 * C,
         "nuts_sampling_vg_evals": samp,
         "mean_tree_depth": round(float(np.asarray(out.tree_depths).mean()), 2),
         "frac_diverging": round(float(np.asarray(out.diverging).mean()), 4),

@@ -683,12 +683,27 @@ def warm_start_chains(result, n_chains: int, *, draw_indices=None):
 
     ndraws = result.draws.shape[1]
     if draw_indices is None:
-        draw_indices = range(min(n_chains, ndraws))
-    draw_indices = list(draw_indices)
+        if n_chains > ndraws:
+            raise ValueError(
+                f"need {n_chains} chain inits but the result has only "
+                f"{ndraws} draws; rerun with more ndraws or pass "
+                "draw_indices"
+            )
+        draw_indices = range(n_chains)
+    draw_indices = [int(i) for i in draw_indices]
     if len(draw_indices) != n_chains:
         raise ValueError(
-            f"need {n_chains} chain inits but the result has only "
-            f"{ndraws} draws; rerun with more ndraws or pass draw_indices"
+            f"draw_indices has {len(draw_indices)} entries but "
+            f"n_chains={n_chains}"
+        )
+    # Validate EVERY index — JAX gather would silently clamp an
+    # out-of-range entry to the last draw (same hazard as
+    # WoodburyMetric.from_result, which only sees draw_indices[0]).
+    bad = [i for i in draw_indices if not -ndraws <= i < ndraws]
+    if bad:
+        raise IndexError(
+            f"draw_indices {bad} out of range for a result with "
+            f"{ndraws} draws"
         )
     vg = resolve_result_value_and_grad(result)
     metric = WoodburyMetric.from_result(result, draw_indices[0])

@@ -75,6 +75,12 @@ def test_quality_spread_semantics(bench_module):
     assert out3["khat"] != out3["khat"]  # NaN median preserved
     assert out3["khat_verdict"] == "not computed"
 
+    # the verdict comes from the UNROUNDED median: 0.7004 rounds to the
+    # reported 0.7 but is strictly > 0.7, i.e. "bad" not "ok"
+    out4 = qs([{"khat": 0.7004}, {"khat": 0.7004}])
+    assert out4["khat"] == 0.7
+    assert out4["khat_verdict"] == "bad"
+
 
 def test_hierarchical_truth_matches_zoo(bench_module):
     """bench's truth wrapper and the zoo helper agree (one source of

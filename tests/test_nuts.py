@@ -136,6 +136,19 @@ def test_warm_start_chains_multipath():
     # asking for more chains than draws is a loud error
     with pytest.raises(ValueError, match="chain inits"):
         warm_start_chains(res, 65)
+    # EVERY out-of-range index is a loud error (JAX gather would
+    # silently clamp index 999 to the last draw), not just the first
+    with pytest.raises(IndexError, match="out of range"):
+        warm_start_chains(res, 2, draw_indices=[0, 999])
+    # wrong-length draw_indices names the actual problem
+    with pytest.raises(ValueError, match="draw_indices has 3 entries"):
+        warm_start_chains(res, 4, draw_indices=[0, 1, 2])
+    # negative indices are accepted python-style (parity with
+    # WoodburyMetric.from_result)
+    _, _, x0s_neg = warm_start_chains(res, 2, draw_indices=[0, -1])
+    np.testing.assert_array_equal(
+        np.asarray(x0s_neg[1]), np.asarray(res.draws[:, -1])
+    )
 
 
 def test_nuts_warm_start_from_pathfinder():
