@@ -15,13 +15,20 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import os
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_result", "load_result", "TYPE_REGISTRY"]
+__all__ = [
+    "save_result",
+    "load_result",
+    "save_result_orbax",
+    "load_result_orbax",
+    "TYPE_REGISTRY",
+]
 
 
 def __getattr__(name):
@@ -73,7 +80,7 @@ def _field_items(obj):
     return None
 
 
-def _encode(obj, arrays: dict, counter: list):
+def _encode(obj, arrays: dict, counter: list, device_leaves: bool = False):
     if obj is None or isinstance(obj, (bool, int, float, str)):
         return {"lit": obj}
     if isinstance(obj, jax.Array) and jnp.issubdtype(
@@ -81,13 +88,19 @@ def _encode(obj, arrays: dict, counter: list):
     ):
         aid = f"a{counter[0]}"
         counter[0] += 1
-        arrays[aid] = np.asarray(jax.random.key_data(obj))
+        kd = jax.random.key_data(obj)
+        arrays[aid] = kd if device_leaves else np.asarray(kd)
         return {"key": aid}
     if isinstance(obj, (jax.Array, np.ndarray, np.generic)):
         aid = f"a{counter[0]}"
         counter[0] += 1
-        arr = np.asarray(obj)
         node = {"arr": aid}
+        if device_leaves and isinstance(obj, jax.Array):
+            # orbax/TensorStore writes device (possibly sharded) arrays
+            # directly — no host gather, and ml_dtypes round-trip natively
+            arrays[aid] = obj
+            return node
+        arr = np.asarray(obj)
         if arr.dtype.kind == "V":
             # ml_dtypes (bfloat16 / float8_*) have numpy kind 'V':
             # np.savez would write dtype-less raw bytes that load as
@@ -101,16 +114,24 @@ def _encode(obj, arrays: dict, counter: list):
     if items is not None and type(obj).__name__ in _registry():
         return {
             "type": type(obj).__name__,
-            "fields": {k: _encode(v, arrays, counter) for k, v in items},
+            "fields": {
+                k: _encode(v, arrays, counter, device_leaves)
+                for k, v in items
+            },
         }
     if isinstance(obj, (list, tuple)):
         return {
-            "seq": [_encode(v, arrays, counter) for v in obj],
+            "seq": [_encode(v, arrays, counter, device_leaves) for v in obj],
             "tuple": isinstance(obj, tuple),
         }
     if isinstance(obj, dict) and all(isinstance(k, str) for k in obj):
         # named-chain dicts (draws_transformed of model runs) round-trip
-        return {"map": {k: _encode(v, arrays, counter) for k, v in obj.items()}}
+        return {
+            "map": {
+                k: _encode(v, arrays, counter, device_leaves)
+                for k, v in obj.items()
+            }
+        }
     # callables / unknown objects: recorded as skipped
     return {"skip": repr(type(obj))}
 
@@ -201,20 +222,72 @@ def save_result(path: str, result) -> None:
     """Save any registered result/state pytree to ``<path>.npz``."""
     arrays: dict = {}
     root = _encode(result, arrays, [0])
-    if "skip" in root:
-        # an unregistered root would write a file that loads as None with
-        # no warning (the unbound-fields check only sees fields of
-        # registered types) — refuse loudly at save time instead
-        raise TypeError(
-            f"save_result: {type(result).__name__} is not a serializable "
-            "result type (register it in TYPE_REGISTRY, or save a "
-            "PathfinderResult/MultiPathfinderResult/SinglePathState)"
-        )
+    _check_root(root, result, "save_result")
     meta = {"v": FORMAT_VERSION, "root": root}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
     np.savez(path, **arrays)
+
+
+def _check_root(root, result, what: str):
+    if "skip" in root:
+        # an unregistered root would write a file that loads as None with
+        # no warning (the unbound-fields check only sees fields of
+        # registered types) — refuse loudly at save time instead
+        raise TypeError(
+            f"{what}: {type(result).__name__} is not a serializable "
+            "result type (register it in TYPE_REGISTRY, or save a "
+            "PathfinderResult/MultiPathfinderResult/SinglePathState)"
+        )
+
+
+def save_result_orbax(path: str, result) -> None:
+    """Save a result as an orbax/TensorStore checkpoint DIRECTORY.
+
+    The TPU-native sibling of :func:`save_result` (same meta schema, same
+    :func:`load-time <load_result>` re-binding semantics): device arrays —
+    including arrays **sharded over a mesh** — are written by orbax without
+    a host gather, so a multipath result whose draws live distributed
+    across chips checkpoints without pulling the pool through the host
+    (at d=10⁶ the draw matrix alone is 400 MB/path-pool; see
+    ``benchmarks/BIG_D_r04.jsonl`` host-fetch decomposition). Requires
+    ``orbax-checkpoint``; ``path`` must not already exist.
+    """
+    import orbax.checkpoint as ocp
+
+    arrays: dict = {}
+    root = _encode(result, arrays, [0], device_leaves=True)
+    _check_root(root, result, "save_result_orbax")
+    meta = {"v": FORMAT_VERSION, "root": root}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ).copy()  # frombuffer views are read-only; orbax requires writable
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(os.path.abspath(path), arrays)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+
+
+def load_result_orbax(path: str, fn=None):
+    """Load a checkpoint written by :func:`save_result_orbax`.
+
+    ``fn`` re-binds callable fields exactly as in :func:`load_result`.
+    Arrays are restored to host and converted lazily by the decode step;
+    pass the result through ``jax.device_put`` with shardings to
+    re-distribute.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        data = ckptr.restore(os.path.abspath(path))
+    finally:
+        ckptr.close()
+    meta = json.loads(bytes(np.asarray(data.pop("__meta__"))).decode())
+    return _decode_with_rebind(meta["root"], data, fn)
 
 
 def load_result(path: str, fn=None):
@@ -232,6 +305,12 @@ def load_result(path: str, fn=None):
     meta = json.loads(bytes(data["__meta__"]).decode())
     # pre-versioning files hold the root node directly
     meta = meta["root"] if "v" in meta else meta
+    return _decode_with_rebind(meta, data, fn)
+
+
+def _decode_with_rebind(meta, arrays, fn):
+    """Shared load tail: decode the meta tree against the array store and
+    re-bind callable fields from ``fn`` (see :func:`load_result`)."""
     rebind = {}
     if fn is not None:
         from pathfinder_tpu.integrations.transforms import resolve_transform
@@ -245,7 +324,7 @@ def load_result(path: str, fn=None):
         if tld is not None:
             rebind["transform"] = tld
     unbound: set = set()
-    result = _decode(meta, data, rebind, unbound)
+    result = _decode(meta, arrays, rebind, unbound)
     if (
         "transform" in rebind
         and getattr(result, "fit_distribution_transformed", False) is None

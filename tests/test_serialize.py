@@ -181,6 +181,100 @@ def test_unregistered_root_raises_at_save_time(tmp_path):
         save_result(str(tmp_path / "bad2"), object())
 
 
+def test_orbax_roundtrip_matches_npz(tmp_path):
+    """The orbax checkpoint path (TPU-native sibling of save_result)
+    round-trips a multipath result identically to the npz path, including
+    post-hoc resample on the loaded result."""
+    from pathfinder_tpu.utils.serialize import (
+        load_result_orbax,
+        save_result_orbax,
+    )
+
+    target = StandardNormal(3)
+    res = multipathfinder(
+        target, 60, key=jax.random.key(1), nruns=4, maxiters=30
+    )
+    p = str(tmp_path / "multi_orbax")
+    save_result_orbax(p, res)
+    loaded = load_result_orbax(p, fn=target)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws), np.asarray(res.draws)
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.psis_result.weights),
+        np.asarray(res.psis_result.weights),
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.fit_distribution.component(0).cov.to_dense()),
+        np.asarray(res.fit_distribution.component(0).cov.to_dense()),
+    )
+    r2 = resample(loaded, 40, key=jax.random.key(2))
+    r2b = resample(res, 40, key=jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(r2.draws), np.asarray(r2b.draws))
+    # same loud save-time failure contract as save_result
+    import pytest
+
+    with pytest.raises(TypeError, match="not a serializable"):
+        save_result_orbax(str(tmp_path / "bad_orbax"), object())
+
+
+def test_orbax_saves_mesh_sharded_arrays(tmp_path):
+    """Arrays sharded over a device mesh checkpoint through orbax without
+    a host gather (the reason this path exists) and restore equal."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec
+    from pathfinder_tpu.parallel.sharding import paths_mesh
+    from pathfinder_tpu.utils.serialize import (
+        load_result_orbax,
+        save_result_orbax,
+    )
+
+    target = StandardNormal(3)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=16, maxiters=30)
+    mesh = paths_mesh(jax.devices()[:4])
+    sharded_draws = jax.device_put(
+        res.draws,
+        NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0])),
+    )
+    assert not sharded_draws.is_fully_replicated
+    res_sharded = dataclasses.replace(res, draws=sharded_draws)
+    p = str(tmp_path / "sharded_orbax")
+    save_result_orbax(p, res_sharded)
+    loaded = load_result_orbax(p, fn=target)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws), np.asarray(res.draws)
+    )
+
+
+def test_orbax_bfloat16_leaves_roundtrip(tmp_path):
+    """ml_dtypes leaves round-trip natively through TensorStore (no f32
+    upcast detour needed on this path)."""
+    import dataclasses
+
+    import ml_dtypes
+
+    from pathfinder_tpu.utils.serialize import (
+        load_result_orbax,
+        save_result_orbax,
+    )
+
+    target = StandardNormal(4)
+    res = pathfinder(target, key=jax.random.key(0), ndraws=8, maxiters=20)
+    vals = jnp.asarray(
+        np.linspace(-3.0, 3.0, res.draws.size).reshape(res.draws.shape),
+        ml_dtypes.bfloat16,
+    )
+    res_bf = dataclasses.replace(res, draws=vals)
+    p = str(tmp_path / "bf16_orbax")
+    save_result_orbax(p, res_bf)
+    loaded = load_result_orbax(p, fn=target)
+    assert loaded.draws.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws, np.float32), np.asarray(vals, np.float32)
+    )
+
+
 def test_type_registry_is_a_mapping():
     """``TYPE_REGISTRY`` is exported as a mapping (PEP 562 lazy build): the
     documented extension/introspection point must be subscriptable."""
