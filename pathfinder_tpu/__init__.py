@@ -11,6 +11,7 @@ from pathfinder_tpu.models.bayes import BayesModel
 from pathfinder_tpu.models.protocol import LogDensity, as_log_density
 from pathfinder_tpu.multipath import (
     MultiPathfinderResult,
+    laplace_resample,
     multipathfinder,
     resample,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "pathfinder",
     "multipathfinder",
     "resample",
+    "laplace_resample",
     "PathfinderResult",
     "MultiPathfinderResult",
     "PathfinderConfig",

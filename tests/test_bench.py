@@ -39,6 +39,10 @@ def test_run_bench_smoke_with_oracle(bench_module):
         # same pipeline on the same keys
         "khat_cg", "khat_cg_verdict", "elapsed_cg_s",
         "moment_err_mean_sd_units_cg",
+        # the strongest remedy chain: cg + laplace_resample("diag")
+        # inside one jitted program (LAPLACE_COV_r04)
+        "khat_cg_laplace", "khat_cg_laplace_verdict",
+        "elapsed_cg_laplace_s", "moment_err_mean_sd_units_cg_laplace",
     ):
         assert key in stats, key
     assert stats["n_success"] == 8

@@ -626,3 +626,190 @@ def test_integer_init_and_dtype_validation():
             target, 20, key=jax.random.key(0), nruns=2, maxiters=40,
             dtype=jnp.int32,
         )
+
+
+class TestLaplaceResample:
+    """Post-hoc Laplace covariance correction (beyond reference; measured
+    motivation in ``benchmarks/LAPLACE_COV_r04.jsonl``)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        res, target = run_multi(key=21, nruns=4, ndraws=100, ndraws_per_run=50)
+        return res, target
+
+    def test_full_recovers_exact_gaussian_covariance(self, result):
+        """On a Gaussian target −H is the precision everywhere, so
+        method='full' must install the exact target covariance at every
+        component."""
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, target = result
+        r2 = laplace_resample(res, 80, method="full")
+        for k in range(r2.nruns):
+            cov = r2.fit_distribution.component(k).cov.to_dense()
+            np.testing.assert_allclose(
+                np.asarray(cov), target.cov, rtol=2e-3, atol=2e-4
+            )
+        # means are preserved — the correction only swaps covariances
+        np.testing.assert_array_equal(
+            np.asarray(r2.fit_distribution.components.mean),
+            np.asarray(res.fit_distribution.components.mean),
+        )
+        # a Gaussian proposal with the exact covariance at a near-posterior
+        # mean: the log-ratios are near-constant, so the weights must be
+        # near-uniform (ESS ≈ S). khat itself is NOT asserted — a GPD fit
+        # on a near-degenerate tail is unreliable noise (the same
+        # perfect-fit artifact optimizer='auto' ranks by ESS, see
+        # multipath.py _khat)
+        p = r2.psis_result
+        assert float(p.ess) > 0.9 * p.weights.size
+
+    def test_diag_installs_conditional_variances(self, result):
+        """method='diag' variance = 1 / diag(precision) — the Gaussian
+        conditional variances."""
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, target = result
+        r2 = laplace_resample(res, 80, method="diag")
+        want = 1.0 / np.diag(np.linalg.inv(target.cov))
+        for k in range(r2.nruns):
+            got = np.asarray(r2.fit_distribution.component(k).cov.diag())
+            np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    def test_result_fields_and_non_mutation(self, result):
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        r2 = laplace_resample(res, 70, method="diag")
+        assert r2.draws.shape == (5, 70)
+        assert r2.draw_component_ids.shape == (70,)
+        assert r2.psis_result is not res.psis_result
+        assert r2.fit_distribution is not res.fit_distribution
+        # fresh draws: not from the stored pool
+        pool = np.asarray(res.draws_per_component).reshape(-1, 5)
+        cols = np.asarray(r2.draws).T
+        overlap = sum(
+            bool(np.isclose(pool, c[None, :]).all(axis=1).any()) for c in cols
+        )
+        assert overlap == 0
+        # per-path views reflect the corrected covariance
+        pr = r2.path_result(0)
+        np.testing.assert_array_equal(
+            np.asarray(pr.fit_distribution.cov.diag()),
+            np.asarray(r2.fit_distribution.component(0).cov.diag()),
+        )
+        # original untouched
+        assert res.draws.shape == (5, 100)
+        assert res.fit_distribution.components.cov.B.shape[-1] > 0
+
+    def test_deterministic_given_key_and_chains_with_resample(self, result):
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        a = laplace_resample(res, 40, key=jax.random.key(7))
+        b = laplace_resample(res, 40, key=jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
+        # chained plain resample reuses the corrected pool + PSIS
+        r3 = resample(a, 30)
+        assert r3.psis_result is a.psis_result
+        pool = np.asarray(a.draws_per_component).reshape(-1, 5)
+        for col in np.asarray(r3.draws).T[:5]:
+            assert np.isclose(pool, col[None, :]).all(axis=1).any()
+
+    def test_importance_false_and_bad_method(self, result):
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        r2 = laplace_resample(res, 30, importance=False)
+        assert r2.psis_result is None
+        with pytest.raises(ValueError, match="diag.*full|full.*diag"):
+            laplace_resample(res, 30, method="newton")
+
+    def test_user_hess_callable_is_used(self, result):
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        # hess = -2I → negH = 2I → diag var = 0.5 everywhere
+        r2 = laplace_resample(
+            res, 30, method="diag",
+            hess=lambda x: -2.0 * jnp.eye(x.shape[0], dtype=x.dtype),
+        )
+        for k in range(r2.nruns):
+            np.testing.assert_allclose(
+                np.asarray(r2.fit_distribution.component(k).cov.diag()),
+                0.5, rtol=1e-6,
+            )
+
+    def test_dense_dim_warning(self, result, monkeypatch):
+        import pathfinder_tpu.ops.optimizers as opt_mod
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        monkeypatch.setattr(opt_mod, "NEWTON_DENSE_DIM_WARN", 3)
+        with pytest.warns(UserWarning, match="materializes"):
+            laplace_resample(res, 30, method="diag")
+
+    def test_ndraws_per_run_override(self, result):
+        from pathfinder_tpu.multipath import laplace_resample
+
+        res, _ = result
+        r2 = laplace_resample(res, 60, ndraws_per_run=37)
+        assert r2.draws_per_component.shape == (4, 37, 5)
+        assert r2.psis_result.log_weights.size == 4 * 37
+
+
+def test_laplace_covariances_diag_fallback_and_saddle_free():
+    """Unit test of the corrected-covariance construction: non-positive
+    diag(−H) coordinates fall back to the fitted diagonal; negative
+    eigenvalues keep their scale (variance 1/|λ|) under method='full'."""
+    from pathfinder_tpu.multipath import _laplace_covariances
+
+    # component 0: −H = diag(4, −1, 2) → coord 1 falls back to fit_diag
+    negH = jnp.stack([
+        jnp.diag(jnp.array([4.0, -1.0, 2.0])),
+        jnp.diag(jnp.array([1.0, 1.0, 1.0])),
+    ])
+    fit_diag = jnp.full((2, 3), 7.0)
+    cov = _laplace_covariances(negH, fit_diag, "diag")
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda c: c.diag())(cov)),
+        [[0.25, 7.0, 0.5], [1.0, 1.0, 1.0]],
+        rtol=1e-6,
+    )
+    # full with a negative eigenvalue: |λ| spectrum → variance 1/|λ|
+    cov_full = _laplace_covariances(negH, fit_diag, "full")
+    dense0 = np.asarray(jax.vmap(lambda c: c.to_dense())(cov_full))[0]
+    np.testing.assert_allclose(
+        np.diag(dense0), [0.25, 1.0, 0.5], rtol=1e-5
+    )
+    assert np.isfinite(dense0).all()
+    with pytest.raises(ValueError, match="method"):
+        _laplace_covariances(negH, fit_diag, "banana")
+
+
+def test_laplace_resample_transform_aware():
+    """The correction must work on a transform-aware (BayesModel) result:
+    Hessians of the LINKED density at unconstrained means, constrained
+    draws rebuilt (NOTES lesson: every result-consuming entry point gets
+    a transform-aware test)."""
+    from pathfinder_tpu.models.bayes import BayesModel, HalfNormal, Normal
+    from pathfinder_tpu.multipath import laplace_resample
+
+    obs = np.array([0.4, 1.1, -0.2, 0.8], dtype=np.float32)
+    model = BayesModel(
+        {"mu": Normal(0.0, 5.0), "sigma": HalfNormal(2.0)},
+        loglikelihood=lambda p: jnp.sum(
+            -0.5 * ((obs - p["mu"]) / p["sigma"]) ** 2 - jnp.log(p["sigma"])
+        ),
+    )
+    res = multipathfinder(
+        model, 100, key=jax.random.key(0), nruns=4, maxiters=40
+    )
+    r2 = laplace_resample(res, 60, method="full")
+    assert r2.draws.shape == (2, 60)
+    assert isinstance(r2.draws_transformed, dict)
+    sigma = np.asarray(r2.draws_transformed["sigma"])
+    assert sigma.shape[-1] == 60
+    assert (sigma > 0).all(), "constrained draws must satisfy the support"
+    k = float(r2.psis_result.pareto_shape)
+    assert k != k or np.isfinite(k)

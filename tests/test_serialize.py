@@ -284,3 +284,36 @@ def test_type_registry_is_a_mapping():
     from pathfinder_tpu.ops.mvnormal import MvNormal
 
     assert TYPE_REGISTRY["MvNormal"] is MvNormal
+
+
+def test_laplace_corrected_result_roundtrip(tmp_path):
+    """A laplace_resample-corrected result round-trips: the corrected
+    components carry zero-size low-rank parts (B of shape (d, 0)) that the
+    npz encoder must preserve, and a chained resample on the loaded result
+    matches the in-memory one."""
+    from pathfinder_tpu.multipath import laplace_resample
+
+    target = StandardNormal(3)
+    res = multipathfinder(
+        target, 60, key=jax.random.key(1), nruns=4, maxiters=30
+    )
+    corrected = laplace_resample(res, 50, method="diag")
+    assert corrected.fit_distribution.components.cov.B.shape[-1] == 0
+    p = str(tmp_path / "laplace")
+    save_result(p, corrected)
+    loaded = load_result(p, fn=target)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.draws), np.asarray(corrected.draws)
+    )
+    assert loaded.fit_distribution.components.cov.B.shape[-1] == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(lambda c: c.cov.diag())(
+            loaded.fit_distribution.components
+        )),
+        np.asarray(jax.vmap(lambda c: c.cov.diag())(
+            corrected.fit_distribution.components
+        )),
+    )
+    a = resample(loaded, 30, key=jax.random.key(5))
+    b = resample(corrected, 30, key=jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
