@@ -231,7 +231,12 @@ def multipathfinder(
     pass ``None`` to always run every candidate) — so on targets where the
     first optimizer already fits well, auto costs ONE run, not the sum.
     Worst case (no candidate under the threshold) = one full run per
-    optimizer. Requires ``importance=True``.
+    optimizer. Requires ``importance=True``. ``auto_laplace=True`` (or
+    ``"diag"``/``"full"``) additionally applies :func:`laplace_resample`
+    to the winner when no candidate reached the threshold, keeping the
+    correction only if the k̂ improves — the cheapest escalation
+    (measured: it closed the d=1000 headline gap,
+    ``benchmarks/LAPLACE_COV_r04.jsonl``).
     """
     from pathfinder_tpu.ops.optimizers import OPTIMIZERS as _KNOWN_OPTS
 
@@ -240,10 +245,24 @@ def multipathfinder(
     auto_khat_early_exit = config_overrides.pop(
         "auto_khat_early_exit", _sentinel
     )
+    auto_laplace = config_overrides.pop("auto_laplace", False)
     if auto_set is not None and config_overrides.get("optimizer") != "auto":
         raise ValueError(
             "auto_optimizers requires optimizer='auto' (it names the "
             "candidates the auto mode runs)"
+        )
+    if auto_laplace and config_overrides.get("optimizer") != "auto":
+        raise ValueError(
+            "auto_laplace requires optimizer='auto' (it extends the auto "
+            "mode's k̂ arbitration; call laplace_resample directly on a "
+            "finished result otherwise)"
+        )
+    if auto_laplace is True:
+        auto_laplace = "diag"
+    if auto_laplace not in (False, "diag", "full"):
+        raise ValueError(
+            f"auto_laplace must be False, True, 'diag', or 'full'; got "
+            f"{auto_laplace!r}"
         )
     if (
         auto_khat_early_exit is not _sentinel
@@ -343,7 +362,31 @@ def multipathfinder(
                 and _khat(r) < auto_khat_early_exit
             ):
                 break
-        return candidates[min(candidates, key=lambda o: _khat(candidates[o]))]
+        winner = candidates[
+            min(candidates, key=lambda o: _khat(candidates[o]))
+        ]
+        if auto_laplace:
+            # opt-in escalation (measured: LAPLACE_COV_r04): when no
+            # candidate reached an acceptable k̂, the Laplace covariance
+            # correction at the winner's own component means is far
+            # cheaper than another full candidate run (one batched
+            # Hessian program vs trajectory+ELBO+PSIS) and closed the
+            # d=1000 headline gap (cg 1.60 → 1.01–1.06). Kept only if
+            # the diagnostic actually improves — the correction can be
+            # a slight negative when the fits already match the local
+            # curvature (see laplace_resample's docstring).
+            trigger = (
+                auto_khat_early_exit
+                if auto_khat_early_exit is not None
+                else 0.7
+            )
+            if _khat(winner) >= trigger:
+                corrected = laplace_resample(
+                    winner, ndraws, method=auto_laplace
+                )
+                if _khat(corrected) < _khat(winner):
+                    winner = corrected
+        return winner
 
     from pathfinder_tpu.integrations.transforms import (
         resolve_transform,

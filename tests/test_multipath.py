@@ -813,3 +813,62 @@ def test_laplace_resample_transform_aware():
     assert (sigma > 0).all(), "constrained draws must satisfy the support"
     k = float(r2.psis_result.pareto_shape)
     assert k != k or np.isfinite(k)
+
+
+def test_optimizer_auto_laplace_escalation():
+    """auto_laplace applies the Laplace covariance correction to the
+    winner when no candidate reached the k̂ threshold, and keeps it only
+    if the diagnostic improves."""
+    from pathfinder_tpu.multipath import laplace_resample
+
+    target = CorrelatedGaussian(5, seed=2)
+    kw = dict(
+        key=jax.random.key(31), nruns=4, maxiters=60, history_length=5,
+        optimizer="auto", auto_optimizers=("lbfgs",),
+    )
+    # force the escalation path with an impossible threshold
+    r_base = multipathfinder(target, 100, auto_khat_early_exit=None, **kw)
+    r_esc = multipathfinder(
+        target, 100, auto_khat_early_exit=-1.0, auto_laplace=True, **kw
+    )
+    k_base = float(r_base.psis_result.pareto_shape)
+    k_esc = float(r_esc.psis_result.pareto_shape)
+    # the escalated result is never worse (kept only on improvement)
+    assert k_esc <= k_base or np.isnan(k_base)
+    if k_esc < k_base:
+        # the kept correction must BE the laplace_resample of the winner
+        # (same keys → bit-identical draws)
+        expect = laplace_resample(r_base, 100, method="diag")
+        np.testing.assert_array_equal(
+            np.asarray(r_esc.draws), np.asarray(expect.draws)
+        )
+        assert r_esc.fit_distribution.components.cov.B.shape[-1] == 0
+    # validation: auto-mode-only kwarg, and bad values fail fast
+    with pytest.raises(ValueError, match="requires optimizer='auto'"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            auto_laplace=True,
+        )
+    with pytest.raises(ValueError, match="auto_laplace must be"):
+        multipathfinder(
+            target, 10, key=jax.random.key(0), nruns=2, maxiters=10,
+            optimizer="auto", auto_laplace="banana",
+        )
+
+
+def test_optimizer_auto_laplace_not_applied_below_threshold():
+    """A winner already under the threshold skips the correction — the
+    returned result is exactly the plain auto result."""
+    target = StandardNormal(4)
+    kw = dict(key=jax.random.key(15), nruns=4, maxiters=40)
+    r_plain = multipathfinder(target, 60, optimizer="auto",
+                              auto_optimizers=("lbfgs",), **kw)
+    r_laplace = multipathfinder(
+        target, 60, optimizer="auto", auto_optimizers=("lbfgs",),
+        auto_laplace=True, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_plain.draws), np.asarray(r_laplace.draws)
+    )
+    # the fitted (uncorrected) covariances travel with the result
+    assert r_laplace.fit_distribution.components.cov.B.shape[-1] > 0
