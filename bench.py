@@ -372,8 +372,8 @@ def _make_full_run(d, n_paths, config, target, init_scale=2.0,
     corrected fresh draws + PSIS in one executable."""
     from pathfinder_tpu.multipath import (
         _compute_psis_result,
-        _laplace_covariances,
         _select_component_fits,
+        laplace_corrected_components_and_draws,
     )
     from pathfinder_tpu.ops.resample import resample_draws
     from pathfinder_tpu.parallel.sharding import make_path_executor
@@ -393,23 +393,10 @@ def _make_full_run(d, n_paths, config, target, init_scale=2.0,
         states = executor(keys, x0s, target, config)
         components = _select_component_fits(states)
         if laplace is not None:
-            from pathfinder_tpu.models.protocol import cached_hessian
-            from pathfinder_tpu.ops.mvnormal import MvNormal
-
-            negH = -jax.vmap(cached_hessian(target.logp))(components.mean)
-            fit_diag = jax.vmap(lambda c: c.cov.diag())(components)
-            components = MvNormal(
-                components.mean,
-                _laplace_covariances(negH, fit_diag, laplace),
+            components, draws_knd = laplace_corrected_components_and_draws(
+                target.logp, components,
+                jax.random.fold_in(key, 0x1A91), config.ndraws, laplace,
             )
-            dkeys = jax.vmap(
-                lambda i: jax.random.fold_in(
-                    jax.random.fold_in(key, 0x1A91), i
-                )
-            )(jnp.arange(n_paths))
-            draws_knd = jax.vmap(
-                lambda c, k: c.sample(k, config.ndraws).T
-            )(components, dkeys)
         else:
             draws_knd = jnp.swapaxes(states.draws, 1, 2)
         psis_result = _compute_psis_result(target.logp, components, draws_knd)

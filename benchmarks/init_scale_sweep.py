@@ -26,6 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
+from benchmarks.jsonl_util import dump_row  # noqa: E402
 import jax  # noqa: E402
 
 
@@ -87,7 +88,7 @@ def main():
                 ),
                 **extra,
             }
-            print(json.dumps(out_rec), flush=True)
+            print(dump_row(out_rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.jsonl_util import dump_row
+
 D = int(os.environ.get("LAPLACE_D", "1000"))
 N_PATHS = int(os.environ.get("LAPLACE_PATHS", "100"))
 NDRAWS_OUT = 1000
@@ -168,7 +170,7 @@ def main(out_path):
 
     def record(fh, **row):
         rows.append(row)
-        fh.write(json.dumps(row) + "\n")
+        fh.write(dump_row(row) + "\n")
         fh.flush()
         print(row, flush=True)
 
@@ -221,14 +223,16 @@ def main(out_path):
                 if not sel:
                     continue
                 ks = [r["khat"] for r in sel if np.isfinite(r["khat"])]
-                mes = [r["moment_err_mean"] for r in sel]
+                mes = [r["moment_err_mean"] for r in sel
+                       if np.isfinite(r["moment_err_mean"])]
                 record(
                     fh, summary=True, variant=variant, optimizer=optimizer,
                     khat_median=round(float(np.median(ks)), 3)
                     if ks else float("nan"),
                     khat_range=[round(min(ks), 3), round(max(ks), 3)]
                     if ks else None,
-                    moment_err_mean_median=round(float(np.median(mes)), 3),
+                    moment_err_mean_median=round(float(np.median(mes)), 3)
+                    if mes else float("nan"),
                 )
 
 

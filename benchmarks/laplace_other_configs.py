@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from benchmarks.jsonl_util import dump_row
+
 NKEYS = int(os.environ.get("LAPLACE_OC_KEYS", "5"))
 
 
@@ -69,7 +71,7 @@ def main(out_path):
 
     def record(fh, **row):
         rows.append(row)
-        fh.write(json.dumps(row) + "\n")
+        fh.write(dump_row(row) + "\n")
         fh.flush()
         print(row, flush=True)
 
@@ -102,14 +104,16 @@ def main(out_path):
                 if not sel:
                     continue
                 ks = [r["khat"] for r in sel if np.isfinite(r["khat"])]
-                mes = [r["moment_err_mean"] for r in sel]
+                mes = [r["moment_err_mean"] for r in sel
+                       if np.isfinite(r["moment_err_mean"])]
                 record(
                     fh, summary=True, config=name, variant=variant,
                     khat_median=round(float(np.median(ks)), 3)
                     if ks else float("nan"),
                     khat_range=[round(min(ks), 3), round(max(ks), 3)]
                     if ks else None,
-                    moment_err_mean_median=round(float(np.median(mes)), 3),
+                    moment_err_mean_median=round(float(np.median(mes)), 3)
+                    if mes else float("nan"),
                 )
 
 

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
+from benchmarks.jsonl_util import dump_row  # noqa: E402
 
 
 def main():
@@ -110,7 +111,7 @@ def main():
             ),
             **extra,
         }
-        print(json.dumps(rec), flush=True)
+        print(dump_row(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.jsonl_util import dump_row
+
 D = int(os.environ.get("TEMPER_D", "1000"))
 N_PATHS = int(os.environ.get("TEMPER_PATHS", "100"))
 NDRAWS_OUT = 1000
@@ -151,7 +153,7 @@ def main(out_path):
                            moment_err_mean=round(me, 3),
                            moment_err_sd=round(se, 3))
                 rows.append(row)
-                fh.write(json.dumps(row) + "\n")
+                fh.write(dump_row(row) + "\n")
                 fh.flush()
                 print(row, flush=True)
             for nu in NUS:
@@ -165,7 +167,7 @@ def main(out_path):
                            moment_err_mean=round(me, 3),
                            moment_err_sd=round(se, 3))
                 rows.append(row)
-                fh.write(json.dumps(row) + "\n")
+                fh.write(dump_row(row) + "\n")
                 fh.flush()
                 print(row, flush=True)
 
@@ -185,7 +187,7 @@ def main(out_path):
                     if finite else None,
                     moment_err_mean_median=round(float(np.median(mes)), 3),
                 )
-                fh.write(json.dumps(summary) + "\n")
+                fh.write(dump_row(summary) + "\n")
                 print(summary, flush=True)
 
 

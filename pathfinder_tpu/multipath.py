@@ -685,11 +685,13 @@ def _laplace_covariances(
     D0 = jnp.zeros((0, 0), dtype)
     if method == "diag":
         # Σ = diag(1 / diag(−H)); μ is generally NOT a stationary point,
-        # so diag(−H) can have non-positive coordinates — those fall back
+        # so diag(−H) can have non-positive (or, for garbage means of
+        # failed paths, non-finite) coordinates — those fall back
         # per-coordinate to the fitted covariance's diagonal (measured
         # mean ≲ 1 coordinate of 1000 on the bench target).
         hd = jax.vmap(jnp.diagonal)(negH)  # (K, d)
-        var = jnp.where(hd > 0, 1.0 / jnp.maximum(hd, 1e-30), fit_diag)
+        usable = (hd > 0) & jnp.isfinite(hd)
+        var = jnp.where(usable, 1.0 / jnp.maximum(hd, 1e-30), fit_diag)
         return jax.vmap(
             lambda v: WoodburyPDMat.from_parts(v, B0, D0)
         )(var)
@@ -702,7 +704,13 @@ def _laplace_covariances(
         # direction).
         w, V = jnp.linalg.eigh(negH)  # (K, d), (K, d, d)
         aw = jnp.abs(w)
-        floor = 1e-8 * jnp.max(aw, axis=1, keepdims=True)
+        maxaw = jnp.max(aw, axis=1, keepdims=True)
+        # a (near-)zero or non-finite Hessian (a failed path's garbage
+        # mean, a likelihood plateau) has no usable curvature — that
+        # component falls back WHOLE to the fitted diagonal, mirroring
+        # the diag method's per-coordinate fallback
+        degenerate = (maxaw <= 0) | ~jnp.isfinite(maxaw)  # (K, 1)
+        floor = 1e-8 * jnp.where(degenerate, 1.0, maxaw)
         wc = jnp.maximum(aw, floor)
         sigma = jnp.einsum(
             "kde,ke,kfe->kdf", V, 1.0 / wc, V
@@ -710,12 +718,49 @@ def _laplace_covariances(
         # eigh keeps Σ symmetric to rounding; symmetrize so the dense
         # Cholesky in from_parts sees an exactly-symmetric matrix
         sigma = 0.5 * (sigma + jnp.swapaxes(sigma, 1, 2))
+        sigma = jnp.where(
+            degenerate[:, :, None],
+            jax.vmap(jnp.diag)(fit_diag),
+            sigma,
+        )
         return jax.vmap(
             lambda S: WoodburyPDMat.from_parts(S, B0, D0)
         )(sigma)
     raise ValueError(
         f"unknown laplace_resample method {method!r}; use 'diag' or 'full'"
     )
+
+
+def laplace_corrected_components_and_draws(
+    logp: Callable,
+    components: MvNormal,
+    key: jax.Array,
+    ndraws_per_run: int,
+    method: str = "diag",
+    hess_fn: Optional[Callable] = None,
+):
+    """The jittable core of the Laplace correction, shared by
+    :func:`laplace_resample`, ``bench.py``'s remedy column, and the
+    multichip dryrun (one source of truth for the Hessian batching, the
+    covariance construction, and the per-component draw keys).
+
+    Returns ``(corrected components: MvNormal, draws_knd (K, N, d))``.
+    """
+    from pathfinder_tpu.models.protocol import cached_hessian
+
+    if hess_fn is None:
+        hess_fn = cached_hessian(logp)
+    negH = -jax.vmap(hess_fn)(components.mean)  # (K, d, d)
+    fit_diag = jax.vmap(lambda c: c.cov.diag())(components)  # (K, d)
+    corrected = MvNormal(
+        components.mean, _laplace_covariances(negH, fit_diag, method)
+    )
+    K = components.mean.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(K))
+    draws_knd = jax.vmap(
+        lambda c, k: c.sample(k, ndraws_per_run).T
+    )(corrected, keys)
+    return corrected, draws_knd
 
 
 def laplace_resample(
@@ -796,10 +841,6 @@ def laplace_resample(
     if hess is None:
         hess = getattr(result.target, "hess", None)
     hess_fn = hess if hess is not None else cached_hessian(result.logp)
-    negH = -jax.vmap(hess_fn)(means)  # (K, d, d)
-    fit_diag = jax.vmap(lambda c: c.cov.diag())(components)  # (K, d)
-    corrected = MvNormal(means, _laplace_covariances(negH, fit_diag, method))
-    mixture = UniformMixture(corrected)
 
     N = (
         ndraws_per_run
@@ -807,8 +848,10 @@ def laplace_resample(
         else result.draws_per_component.shape[1]
     )
     key_draw, key_res = jax.random.split(key)
-    keys = jax.random.split(key_draw, K)
-    draws_knd = jax.vmap(lambda c, k: c.sample(k, N).T)(corrected, keys)
+    corrected, draws_knd = laplace_corrected_components_and_draws(
+        result.logp, components, key_draw, N, method, hess_fn=hess_fn
+    )
+    mixture = UniformMixture(corrected)
 
     effective_denom = (
         importance_denominator
@@ -835,9 +878,15 @@ def laplace_resample(
         result,
         fit_distribution=mixture,
         fit_distribution_transformed=fit_transformed,
-        # keep the per-path result views consistent with the corrected
-        # mixture (path_result(k) reads states.fit_distribution)
-        states=result.states._replace(fit_distribution=corrected),
+        # keep the per-path result views self-consistent: path_result(k)
+        # reads states.fit_distribution AND states.draws, so both the
+        # corrected components and the draws they actually produced go in
+        # (stale uncorrected draws paired with corrected fits would make
+        # any per-path diagnostic silently wrong)
+        states=result.states._replace(
+            fit_distribution=corrected,
+            draws=jnp.swapaxes(draws_knd, 1, 2),
+        ),
         draws=draws,
         draw_component_ids=component_ids,
         draws_transformed=draws_transformed,

@@ -783,6 +783,19 @@ def test_laplace_covariances_diag_fallback_and_saddle_free():
         np.diag(dense0), [0.25, 1.0, 0.5], rtol=1e-5
     )
     assert np.isfinite(dense0).all()
+    # a degenerate Hessian (all-zero: a plateau, or NaN: a failed path's
+    # garbage mean) has no usable curvature — that component falls back
+    # WHOLE to the fitted diagonal instead of producing inf/NaN draws
+    negH_bad = jnp.stack([
+        jnp.zeros((3, 3)),
+        jnp.full((3, 3), jnp.nan),
+    ])
+    for method in ("diag", "full"):
+        cov_bad = _laplace_covariances(negH_bad, fit_diag, method)
+        dense = np.asarray(jax.vmap(lambda c: c.to_dense())(cov_bad))
+        np.testing.assert_allclose(
+            dense, np.stack([np.diag([7.0] * 3)] * 2), rtol=1e-6
+        )
     with pytest.raises(ValueError, match="method"):
         _laplace_covariances(negH, fit_diag, "banana")
 
