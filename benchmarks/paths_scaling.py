@@ -28,6 +28,75 @@ sys.path.insert(
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def make_chunked_run(d, n_paths, cap, config, target, init_scale=2.0):
+    """The K>compiler-limit path (VERDICT r04 task 6): the optimizer stage
+    runs as sequential launches of ONE compiled ``cap``-lane program via
+    the product ``chunk_launches`` wrapper; the pooled PSIS/resample tail
+    is a second (small) program. Semantically the same pipeline as
+    ``bench._make_full_run`` — keys depend only on the path id."""
+    from pathfinder_tpu.multipath import (
+        _compute_psis_result,
+        _select_component_fits,
+    )
+    from pathfinder_tpu.ops.resample import resample_draws
+    from pathfinder_tpu.parallel.sharding import (
+        chunk_launches,
+        make_path_executor,
+    )
+
+    base = make_path_executor(mesh=None)
+    launch = jax.jit(lambda keys, x0s: base(keys, x0s, target, config))
+    executor = chunk_launches(
+        lambda keys, x0s, _t, _c: launch(keys, x0s), cap
+    )
+    ndraws = config.ndraws * n_paths
+
+    @jax.jit
+    def make_inputs(key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_paths)
+        )
+        x0s = jax.vmap(
+            lambda k: jax.random.uniform(
+                k, (d,), jnp.float32, minval=-init_scale, maxval=init_scale
+            )
+        )(keys)
+        return keys, x0s
+
+    @jax.jit
+    def tail(key, states):
+        components = _select_component_fits(states)
+        draws_knd = jnp.swapaxes(states.draws, 1, 2)
+        psis_result = _compute_psis_result(
+            target.logp, components, draws_knd
+        )
+        draws, ids = resample_draws(
+            jax.random.fold_in(key, 0x5E5A), draws_knd, psis_result, ndraws
+        )
+        n_elbo_evals = (
+            jnp.sum(states.trace.num_valid - 1) * config.ndraws_elbo
+            + draws_knd.shape[0] * draws_knd.shape[1]
+        )
+        return (
+            draws,
+            psis_result.pareto_shape,
+            states.success,
+            states.num_fn_evals,
+            n_elbo_evals,
+            states.trace.num_valid,
+            states.trace.num_ls_exhausted,
+            components.mean,
+        )
+
+    def full_run(key):
+        keys, x0s = make_inputs(key)
+        states = executor(keys, x0s, None, None)
+        return tail(key, states)
+
+    return full_run
 
 
 def main():
@@ -37,6 +106,11 @@ def main():
     ap.add_argument("--d", type=int, default=1000)
     ap.add_argument(
         "--ks", type=int, nargs="*", default=[100, 1000, 4000, 10000]
+    )
+    ap.add_argument(
+        "--chunk", type=int, default=None,
+        help="cap lanes per launch (chunk_launches); measures the "
+        "sequential-launch fallback for K beyond compiler limits",
     )
     args = ap.parse_args()
     if args.cpu:
@@ -56,7 +130,10 @@ def main():
             ndraws=5,  # fixed 5 draws/path: the pool scales with K
             elbo_chunk=8,
         )
-        run = jax.jit(bench._make_full_run(d, k_paths, config, target))
+        if args.chunk:
+            run = make_chunked_run(d, k_paths, args.chunk, config, target)
+        else:
+            run = jax.jit(bench._make_full_run(d, k_paths, config, target))
         try:
             t0 = time.perf_counter()
             out = run(jax.random.key(0))
@@ -80,6 +157,7 @@ def main():
         trace_gb = 2 * k_paths * (config.maxiters + 1) * d * 4 / 2**30
         rows.append({
             "k_paths": k_paths, "d": d,
+            **({"chunk": args.chunk} if args.chunk else {}),
             "steady_s": round(steady, 4),
             "times_s": [round(t, 4) for t in times],
             "compile_plus_first_s": round(compile_s, 2),

@@ -105,9 +105,20 @@ def _nuts_eval_ledger(out):
     }
 
 
+def _ess_per_eval(row):
+    """ESS-normalized value columns (VERDICT r04 task 5): ESS delivered
+    per 1000 logp+grad evaluations, bulk and tail — the honest
+    cross-arm comparison when the arms deliver different ESS at the
+    chosen budgets."""
+    tot = max(row["total_vg_evals"], 1)
+    row["ess_bulk_per_1k_vg"] = round(row["min_ess_bulk"] / tot * 1000, 2)
+    row["ess_tail_per_1k_vg"] = round(row["min_ess_tail"] / tot * 1000, 2)
+    return row
+
+
 def run_target(name, target, mean_true, sd_true, key, *, nruns,
                pf_maxiters, standalone_warmup, warmstart_warmup,
-               init_scale=2.0):
+               init_scale=2.0, matched_factor=None):
     from pathfinder_tpu.integrations.nuts import (
         nuts_chains,
         warm_start_chains,
@@ -131,7 +142,7 @@ def run_target(name, target, mean_true, sd_true, key, *, nruns,
     )[0]
     t_a, out_a = _time_warm(run_a)
     ledger_a = _nuts_eval_ledger(out_a)
-    rows.append({
+    rows.append(_ess_per_eval({
         "target": name, "arm": "standalone_nuts",
         "num_warmup": standalone_warmup, "chains": N_CHAINS,
         "wall_s": round(t_a, 4),
@@ -143,7 +154,7 @@ def run_target(name, target, mean_true, sd_true, key, *, nruns,
         "logp_only_evals": 0,
         **ledger_a,
         **_quality(out_a.samples, mean_true, sd_true),
-    })
+    }))
 
     # ---- arm B: Pathfinder warm start (fit metric + PSIS-draw inits)
     k_b = jax.random.fold_in(key, 1)
@@ -174,33 +185,45 @@ def run_target(name, target, mean_true, sd_true, key, *, nruns,
     )
 
     vg_b, metric, x0s_b = warm_start_chains(res, N_CHAINS)
-    run_b = lambda: nuts_chains(  # noqa: E731
-        jax.random.fold_in(k_b, 2), vg_b, metric, x0s_b,
-        num_samples=N_SAMPLES, num_warmup=warmstart_warmup,
-        adapt_mass_matrix=False,
-    )[0]
-    t_b, out_b = _time_warm(run_b)
-    ledger_b = _nuts_eval_ledger(out_b)
-    rows.append({
-        "target": name, "arm": "pathfinder_warmstart",
-        "num_warmup": warmstart_warmup, "chains": N_CHAINS,
-        "pf_nruns": nruns, "pf_khat": round(
-            float(res.psis_result.pareto_shape), 3
-        ) if res.psis_result is not None else None,
-        "wall_s": round(pf_wall_s + t_b, 4),
-        "pf_wall_s": round(pf_wall_s, 4),
-        "pf_compile_s": round(pf_compile_s, 2),
-        "nuts_wall_s": round(t_b, 4),
-        "pf_vg_evals": pf_vg,
-        "warmup_vg_evals": pf_vg + ledger_b["nuts_warmup_vg_evals"],
-        "total_vg_evals": (
-            pf_vg + ledger_b["nuts_warmup_vg_evals"]
-            + ledger_b["nuts_sampling_vg_evals"]
-        ),
-        "logp_only_evals": pf_logp_only,
-        **ledger_b,
-        **_quality(out_b.samples, mean_true, sd_true),
-    })
+
+    def arm_b(num_samples, arm_name):
+        run_b = lambda: nuts_chains(  # noqa: E731
+            jax.random.fold_in(k_b, 2), vg_b, metric, x0s_b,
+            num_samples=num_samples, num_warmup=warmstart_warmup,
+            adapt_mass_matrix=False,
+        )[0]
+        t_b, out_b = _time_warm(run_b)
+        ledger_b = _nuts_eval_ledger(out_b)
+        return _ess_per_eval({
+            "target": name, "arm": arm_name,
+            "num_warmup": warmstart_warmup, "chains": N_CHAINS,
+            "num_samples": num_samples,
+            "pf_nruns": nruns, "pf_khat": round(
+                float(res.psis_result.pareto_shape), 3
+            ) if res.psis_result is not None else None,
+            "wall_s": round(pf_wall_s + t_b, 4),
+            "pf_wall_s": round(pf_wall_s, 4),
+            "pf_compile_s": round(pf_compile_s, 2),
+            "nuts_wall_s": round(t_b, 4),
+            "pf_vg_evals": pf_vg,
+            "warmup_vg_evals": pf_vg + ledger_b["nuts_warmup_vg_evals"],
+            "total_vg_evals": (
+                pf_vg + ledger_b["nuts_warmup_vg_evals"]
+                + ledger_b["nuts_sampling_vg_evals"]
+            ),
+            "logp_only_evals": pf_logp_only,
+            **ledger_b,
+            **_quality(out_b.samples, mean_true, sd_true),
+        })
+
+    rows.append(arm_b(N_SAMPLES, "pathfinder_warmstart"))
+    if matched_factor is not None:
+        # ESS-matched arm (VERDICT r04 task 5): extend warm-started
+        # sampling until delivered ESS is comparable to standalone's,
+        # so the total-eval comparison is at matched output quality
+        rows.append(
+            arm_b(N_SAMPLES * matched_factor, "pathfinder_warmstart_matched")
+        )
     return rows
 
 
@@ -223,6 +246,7 @@ def main():
     from pathfinder_tpu.models.zoo import (
         CorrelatedGaussian,
         LogisticRegression,
+        NealsFunnel,
         german_credit_synthetic,
     )
 
@@ -245,11 +269,33 @@ def main():
     )
 
     # target 2: 100-D correlated Gaussian (analytic truth; ill-conditioned
-    # enough that the metric choice dominates NUTS cost)
+    # enough that the metric choice dominates NUTS cost). matched_factor=4:
+    # r04 measured warm-started min bulk ESS 852 vs 3089 standalone at
+    # equal draw counts — the matched arm extends sampling ~4x so the
+    # total-eval comparison is at matched delivered ESS (VERDICT task 5)
     t2 = CorrelatedGaussian(100, seed=11)
     rows += run_target(
         "corrgauss100", t2, np.asarray(t2.mean),
         np.sqrt(np.diag(np.asarray(t2.cov))), jax.random.key(1),
+        nruns=8, pf_maxiters=128,
+        standalone_warmup=sw, warmstart_warmup=ww,
+        matched_factor=4,
+    )
+
+    # target 3: 101-D Neal's funnel — the config where importance
+    # sampling is measured hopeless (bench --all config 3: fit khat 1.09
+    # seed-unstable, laplace negative, cg 4.56, mixture-denom 1.06;
+    # LAPLACE_OTHER_r04). The principled remedy the repo ships is
+    # warm-started NUTS (VERDICT r04 task 4) — this measures it vs
+    # standalone NUTS. Marginal truth: v ~ N(0, 3²); x_i mean 0,
+    # sd = exp(4.5/2) (scale mixture — heavy-tailed, so ESS/moment
+    # errors converge slowly; same convention as bench config 3).
+    t3 = NealsFunnel(101)
+    sd3 = np.concatenate(
+        [[3.0], np.full(100, np.exp(4.5 / 2))]
+    ).astype(np.float64)
+    rows += run_target(
+        "funnel101", t3, np.zeros(101), sd3, jax.random.key(2),
         nruns=8, pf_maxiters=128,
         standalone_warmup=sw, warmstart_warmup=ww,
     )
@@ -258,7 +304,7 @@ def main():
     for ln in out_lines:
         print(ln)
     # headline ratios (stderr, human-readable)
-    for tname in ("logreg25", "corrgauss100"):
+    for tname in ("logreg25", "corrgauss100", "funnel101"):
         a = next(r for r in rows if r["target"] == tname
                  and r["arm"] == "standalone_nuts")
         b = next(r for r in rows if r["target"] == tname
@@ -270,9 +316,21 @@ def main():
             "fewer), total vg evals "
             f"{a['total_vg_evals']} -> {b['total_vg_evals']}, wall "
             f"{a['wall_s']:.3f}s -> {b['wall_s']:.3f}s, min tail ESS "
-            f"{a['min_ess_tail']} -> {b['min_ess_tail']}",
+            f"{a['min_ess_tail']} -> {b['min_ess_tail']}, "
+            f"tail ESS/1k evals {a['ess_tail_per_1k_vg']} -> "
+            f"{b['ess_tail_per_1k_vg']}",
             file=sys.stderr,
         )
+        m = next((r for r in rows if r["target"] == tname
+                  and r["arm"] == "pathfinder_warmstart_matched"), None)
+        if m is not None:
+            print(
+                f"{tname} (ESS-matched arm, {m['num_samples']} draws): "
+                f"min bulk ESS {m['min_ess_bulk']} vs standalone "
+                f"{a['min_ess_bulk']}, total vg evals "
+                f"{m['total_vg_evals']} vs {a['total_vg_evals']}",
+                file=sys.stderr,
+            )
     if args.out:
         with open(args.out, "w") as f:
             f.write("\n".join(out_lines) + "\n")

@@ -24,7 +24,11 @@ from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 from pathfinder_tpu.ops.psis import PSISResult, psis
 from pathfinder_tpu.ops.resample import resample_draws
-from pathfinder_tpu.parallel.sharding import make_path_executor, pad_paths
+from pathfinder_tpu.parallel.sharding import (
+    chunk_launches,
+    make_path_executor,
+    pad_paths,
+)
 from pathfinder_tpu.singlepath import (
     PathfinderConfig,
     PathfinderResult,
@@ -39,6 +43,57 @@ __all__ = [
     "resample",
     "laplace_resample",
 ]
+
+
+def _khat_remedy_hint(tried_auto: bool = False, tried_laplace: bool = False) -> str:
+    """One-line actionable remedy hint for a bad/very-bad Pareto-k̂ verdict.
+
+    The remedies are the repo's own measured ones (see
+    ``docs/examples/resampling.md`` and ``benchmarks/README.md``): optimizer
+    competition (``optimizer="auto"``), the Laplace covariance correction
+    (``auto_laplace=True`` / :func:`laplace_resample`), and — for funnel-like
+    geometry where importance sampling is measured hopeless — warm-started
+    sampling via ``integrations.nuts.warm_start_chains``."""
+    remedies = []
+    if not tried_auto:
+        remedies.append("optimizer='auto' (k-hat-arbitrated optimizer competition)")
+    if not tried_laplace:
+        remedies.append(
+            "laplace_resample(result, ndraws)"
+            + ("" if tried_auto else " or auto_laplace=True")
+            + " (curvature-corrected covariances)"
+        )
+    remedies.append(
+        "for funnel-like geometry use warm_start_chains + NUTS instead of "
+        "importance sampling"
+    )
+    return (
+        "measured remedies: " + "; ".join(remedies)
+        + " — see docs/examples/resampling.md"
+    )
+
+
+def _maybe_warn_bad_khat(
+    psis_result: Optional[PSISResult],
+    *,
+    tried_auto: bool = False,
+    tried_laplace: bool = False,
+) -> None:
+    """Warn with an actionable hint when the PSIS verdict is bad/very bad
+    (k̂ > 0.7, the reference's thresholds ``src/multipath.jl:54-63``).
+    Beyond reference: the reference only *prints* the verdict; here the
+    measured remedies are surfaced where the user will see them."""
+    if psis_result is None:
+        return
+    verdict = psis_result.diagnosis
+    if verdict not in ("bad", "very bad"):
+        return
+    k = float(psis_result.pareto_shape)
+    warnings.warn(
+        f"Pareto k-hat = {k:.2f} ({verdict}): importance weights are "
+        "unreliable and resampled draws may misrepresent the target; "
+        + _khat_remedy_hint(tried_auto=tried_auto, tried_laplace=tried_laplace)
+    )
 
 
 def _select_component_fits(states: SinglePathState) -> MvNormal:
@@ -168,10 +223,14 @@ class MultiPathfinderResult:
         )
         if self.psis_result is not None:
             k = float(self.psis_result.pareto_shape)
-            out += (
-                f"\n  Pareto shape diagnostic: {k:.2f}"
-                f" ({self.psis_result.diagnosis})"
-            )
+            verdict = self.psis_result.diagnosis
+            out += f"\n  Pareto shape diagnostic: {k:.2f} ({verdict})"
+            if verdict in ("bad", "very bad"):
+                out += (
+                    "\n  hint: k-hat > 0.7 — try optimizer='auto', "
+                    "laplace_resample, or warm_start_chains "
+                    "(docs/examples/resampling.md)"
+                )
         return out
 
 
@@ -196,6 +255,7 @@ def multipathfinder(
     init_sampler: Optional[Callable] = None,
     gtol: float = 1e-8,
     mesh=None,
+    max_paths_per_launch: Optional[int] = None,
     dtype=None,
     progress: bool = False,
     transform=None,
@@ -207,7 +267,14 @@ def multipathfinder(
     Keyword parity: ``init`` (array ``(nruns, dim)``) or ``nruns`` + ``dim``;
     ``ndraws_per_run`` defaults to ``max(ndraws_elbo, ceil(ndraws / nruns))``
     (``src/multipath.jl:138``); ``importance=True`` enables PSIS. ``mesh``
-    shards the paths axis across devices. The reference's
+    shards the paths axis across devices. ``max_paths_per_launch`` caps the
+    lane count of any single compiled program: larger batches run as
+    sequential launches of one fixed-shape program. Keys depend only on
+    the path id, so no randomness or algorithmic decision changes; a
+    fixed cap is fully deterministic, and different caps agree up to
+    XLA's per-batch-size rounding (last few ulps — see
+    :func:`pathfinder_tpu.parallel.sharding.chunk_launches`). Use it when
+    a very large ``nruns`` hits compiler limits. The reference's
     ``ntasks``/``ntasks_per_run`` have no analog — everything is batched.
 
     ``fn`` may also be a ``BayesModel`` or ``TransformedLogDensity``, or
@@ -240,6 +307,9 @@ def multipathfinder(
     """
     from pathfinder_tpu.ops.optimizers import OPTIMIZERS as _KNOWN_OPTS
 
+    # internal: auto-mode candidate sub-runs suppress the bad-k̂ remedy
+    # hint — only the final (winning) result should warn the user
+    suppress_khat_hint = config_overrides.pop("_suppress_khat_hint", False)
     auto_set = config_overrides.pop("auto_optimizers", None)
     _sentinel = object()
     auto_khat_early_exit = config_overrides.pop(
@@ -321,7 +391,8 @@ def multipathfinder(
             importance_denominator=importance_denominator,
             history_length=history_length, maxiters=maxiters,
             ntries=ntries, init_scale=init_scale,
-            init_sampler=init_sampler, gtol=gtol, mesh=mesh, dtype=dtype,
+            init_sampler=init_sampler, gtol=gtol, mesh=mesh,
+            max_paths_per_launch=max_paths_per_launch, dtype=dtype,
             progress=progress, transform=transform,
         )
         def _khat(r):
@@ -350,7 +421,11 @@ def multipathfinder(
         for opt in auto_set:
             r = multipathfinder(
                 fn, ndraws, **shared,
-                **{**config_overrides, "optimizer": opt},
+                **{
+                    **config_overrides,
+                    "optimizer": opt,
+                    "_suppress_khat_hint": True,
+                },
             )
             candidates[opt] = r
             # early exit (VERDICT r03 task 4): a candidate at "ok" or
@@ -386,6 +461,12 @@ def multipathfinder(
                 )
                 if _khat(corrected) < _khat(winner):
                     winner = corrected
+        if not suppress_khat_hint:
+            _maybe_warn_bad_khat(
+                winner.psis_result,
+                tried_auto=True,
+                tried_laplace=bool(auto_laplace),
+            )
         return winner
 
     from pathfinder_tpu.integrations.transforms import (
@@ -464,7 +545,13 @@ def multipathfinder(
     )
 
     K = pad_paths(nruns, mesh)
-    executor = make_path_executor(mesh)
+    # chunk the path axis over sequential launches of one fixed-shape
+    # program when K exceeds the cap — very large single programs hit
+    # compiler limits long before HBM (see chunk_launches); keys depend
+    # only on (path id, round), so results are bit-identical either way
+    executor = chunk_launches(
+        make_path_executor(mesh), max_paths_per_launch, mesh
+    )
 
     def path_keys(path_ids, round_idx: int):
         # THE key-derivation rule: fold (path id, round) into the master
@@ -564,6 +651,8 @@ def multipathfinder(
     draws, component_ids = resample_draws(
         key_resample, draws_knd, psis_result, ndraws
     )
+    if not suppress_khat_hint:
+        _maybe_warn_bad_khat(psis_result)
 
     draws_t, fit_t = transformed_outputs(tld, fn, draws, mixture)
     return MultiPathfinderResult(

@@ -36,6 +36,7 @@ __all__ = [
     "paths_dim_mesh",
     "make_path_executor",
     "pad_paths",
+    "chunk_launches",
 ]
 
 PATHS_AXIS = "paths"
@@ -77,6 +78,67 @@ def pad_paths(n: int, mesh: Optional[Mesh]) -> int:
         return n
     size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
     return ((n + size - 1) // size) * size
+
+
+def chunk_launches(executor, cap: Optional[int], mesh: Optional[Mesh] = None):
+    """Wrap a path executor so batches larger than ``cap`` lanes run as
+    sequential launches of ONE fixed-shape ``cap``-lane program.
+
+    Very large single programs can exceed compiler limits long before HBM
+    does (measured: K=8000 trace buffers are 3.9 GB of 16 GB yet the
+    compile fails server-side, ``benchmarks/PATHS_SCALING_r04.jsonl``).
+    Because every path's randomness comes from ``fold_in(key, path_id)``
+    — keys are computed *before* the executor sees them — chunking the
+    path axis changes no sampled randomness and no algorithmic decision.
+    A fixed ``cap`` is fully deterministic (one compiled program, one
+    launch order). Results across *different* caps (or vs the unchunked
+    program) agree in exact arithmetic but may differ in the last few
+    ulps: XLA emits different vectorization for different batch sizes
+    (measured ≤ 3e-6 on f32 d=5 trajectories, CPU) — the same rounding
+    caveat the retry rounds' compacted batches already carry.
+
+    ``cap`` is rounded DOWN to a mesh-divisible lane count (never below
+    one lane per device) so each launch still rides the full mesh. Lanes
+    are padded to a whole number of chunks by repeating the leading lanes
+    (their results are discarded), so all launches share one compiled
+    program.
+    """
+    if cap is None:
+        return executor
+    if cap <= 0:
+        raise ValueError(f"max_paths_per_launch must be positive; got {cap}")
+    if mesh is not None:
+        size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
+        cap = max((cap // size) * size, size)
+
+    import jax.numpy as jnp
+
+    def run(keys, x0s, target, config):
+        K = keys.shape[0]
+        if K <= cap:
+            return executor(keys, x0s, target, config)
+        n_chunks = -(-K // cap)
+        pad = n_chunks * cap - K
+        if pad:
+            keys = jnp.concatenate([keys, keys[:pad]])
+            x0s = jnp.concatenate([x0s, x0s[:pad]])
+        outs = [
+            executor(
+                keys[c * cap : (c + 1) * cap],
+                x0s[c * cap : (c + 1) * cap],
+                target,
+                config,
+            )
+            for c in range(n_chunks)
+        ]
+        full = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *outs
+        )
+        if pad:
+            full = jax.tree_util.tree_map(lambda leaf: leaf[:K], full)
+        return full
+
+    return run
 
 
 def make_path_executor(mesh: Optional[Mesh] = None):

@@ -885,3 +885,150 @@ def test_optimizer_auto_laplace_not_applied_below_threshold():
     )
     # the fitted (uncorrected) covariances travel with the result
     assert r_laplace.fit_distribution.components.cov.B.shape[-1] > 0
+
+
+class TestBadKhatHint:
+    """A bad/very-bad Pareto-k̂ verdict surfaces a one-line actionable
+    remedy hint in the warning stream and the repr (beyond reference —
+    the reference only prints the verdict, ``src/multipath.jl:54-63``;
+    the remedies are this repo's measured ones, VERDICT r04 task 2)."""
+
+    @staticmethod
+    def _fake_psis(khat, n):
+        from pathfinder_tpu.ops.psis import PSISResult
+
+        lw = jnp.full((n,), -jnp.log(float(n)))
+        return PSISResult(
+            log_weights=lw,
+            weights=jnp.exp(lw),
+            pareto_shape=jnp.asarray(float(khat)),
+            tail_length=max(1, n // 5),
+            reff=1.0,
+        )
+
+    def test_driver_warns_and_repr_hints(self, monkeypatch):
+        import pathfinder_tpu.multipath as mp
+
+        # nruns=2, ndraws=40 → ndraws_per_run=20 → pool of 40 weights
+        monkeypatch.setattr(
+            mp, "_compute_psis_result", lambda *a, **k: self._fake_psis(1.5, 40)
+        )
+        with pytest.warns(UserWarning, match="measured remedies"):
+            res, _ = run_multi(nruns=2, ndraws=40)
+        assert "hint: k-hat > 0.7" in repr(res)
+        # the un-tried remedies are all named
+        with pytest.warns(UserWarning) as rec:
+            run_multi(nruns=2, ndraws=40)
+        msgs = [str(w.message) for w in rec if "unreliable" in str(w.message)]
+        assert len(msgs) == 1
+        assert "optimizer='auto'" in msgs[0]
+        assert "laplace_resample" in msgs[0]
+        assert "warm_start_chains" in msgs[0]
+
+    def test_auto_winner_warns_once_with_adapted_hint(self, monkeypatch):
+        import pathfinder_tpu.multipath as mp
+
+        monkeypatch.setattr(
+            mp, "_compute_psis_result", lambda *a, **k: self._fake_psis(0.9, 40)
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            res, _ = run_multi(nruns=2, ndraws=40, optimizer="auto")
+        hints = [w for w in rec if "unreliable" in str(w.message)]
+        # candidate sub-runs are suppressed; only the winning result warns
+        assert len(hints) == 1
+        msg = str(hints[0].message)
+        # already tried the optimizer competition — don't re-suggest it
+        assert "optimizer='auto'" not in msg
+        assert "laplace_resample" in msg
+        assert "warm_start_chains" in msg
+
+    def test_good_verdict_no_hint(self, monkeypatch):
+        import pathfinder_tpu.multipath as mp
+
+        monkeypatch.setattr(
+            mp, "_compute_psis_result", lambda *a, **k: self._fake_psis(0.3, 40)
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            res, _ = run_multi(nruns=2, ndraws=40)
+        assert not [w for w in rec if "unreliable" in str(w.message)]
+        assert "hint:" not in repr(res)
+
+
+class TestChunkedLaunches:
+    """``max_paths_per_launch`` splits large path batches into sequential
+    launches of one fixed-shape program (VERDICT r04 task 6 — compiler
+    limits bite long before HBM at large K). Keys depend only on the path
+    id, so no randomness or decision changes; a fixed cap is fully
+    deterministic, and chunked-vs-unchunked agree up to XLA's
+    per-batch-size codegen rounding (measured ≤ 3e-6 on this target)."""
+
+    def test_matches_unchunked(self):
+        res_full, _ = run_multi(key=4, nruns=10, ndraws=100)
+        res_chunk, _ = run_multi(
+            key=4, nruns=10, ndraws=100, max_paths_per_launch=4
+        )
+        # algorithmic decisions identical (ELBO winner per path)
+        np.testing.assert_array_equal(
+            np.asarray(res_full.states.fit_iteration),
+            np.asarray(res_chunk.states.fit_iteration),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_full.states.success),
+            np.asarray(res_chunk.states.success),
+        )
+        # trajectories/draws agree up to XLA per-batch-size rounding
+        np.testing.assert_allclose(
+            np.asarray(res_full.draws), np.asarray(res_chunk.draws),
+            atol=1e-4, rtol=1e-4,
+        )
+        # a fixed cap is fully deterministic
+        res_chunk2, _ = run_multi(
+            key=4, nruns=10, ndraws=100, max_paths_per_launch=4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_chunk.draws), np.asarray(res_chunk2.draws)
+        )
+
+    def test_chunked_under_mesh(self):
+        mesh = paths_mesh()
+        n_dev = mesh.devices.size
+        res_full, _ = run_multi(key=4, nruns=2 * n_dev + 3, ndraws=100)
+        res_chunk, _ = run_multi(
+            key=4, nruns=2 * n_dev + 3, ndraws=100,
+            mesh=mesh, max_paths_per_launch=n_dev,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_full.states.success),
+            np.asarray(res_chunk.states.success),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_full.draws), np.asarray(res_chunk.draws),
+            atol=1e-4, rtol=1e-4,
+        )
+
+    def test_cap_rounds_down_to_mesh_divisible(self):
+        from pathfinder_tpu.parallel.sharding import chunk_launches
+
+        mesh = paths_mesh()
+        n_dev = mesh.devices.size
+        calls = []
+
+        def fake_exec(keys, x0s, target, config):
+            calls.append(keys.shape[0])
+            return jnp.zeros((keys.shape[0], 1))
+
+        # cap = n_dev + 1 rounds down to n_dev per launch
+        run = chunk_launches(fake_exec, n_dev + 1, mesh)
+        keys = jax.random.split(jax.random.key(0), 2 * n_dev + 1)
+        x0s = jnp.zeros((2 * n_dev + 1, 3))
+        out = run(keys, x0s, None, None)
+        assert out.shape[0] == 2 * n_dev + 1
+        assert all(c == n_dev for c in calls) and len(calls) == 3
+
+    def test_invalid_cap(self):
+        from pathfinder_tpu.parallel.sharding import chunk_launches
+
+        with pytest.raises(ValueError, match="positive"):
+            chunk_launches(lambda *a: None, 0)
