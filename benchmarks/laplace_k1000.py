@@ -50,9 +50,17 @@ def main(out_path):
             fh.flush()
             print(row, flush=True)
 
-        for variant, laplace in (("fit", None), ("laplace_diag", "diag")):
+        variants = [("fit", None, "lbfgs"), ("laplace_diag", "diag", "lbfgs")]
+        if "--cg" in sys.argv:
+            # the full r04 headline remedy chain (cg trajectories + diag
+            # Laplace) at production path count
+            variants += [
+                ("cg", None, "cg"), ("cg_laplace_diag", "diag", "cg"),
+            ]
+        for variant, laplace, opt in variants:
+            cfg = config._replace(optimizer=opt)
             run = jax.jit(
-                bench._make_full_run(D, K, config, target, laplace=laplace)
+                bench._make_full_run(D, K, cfg, target, laplace=laplace)
             )
             out = run(jax.random.key(0))
             bench._sync(out)  # compile + first run off the clock
@@ -69,7 +77,7 @@ def main(out_path):
                        elapsed_s=round(t, 4),
                        n_success=int(np.asarray(out[2]).sum()))
 
-        for variant in ("fit", "laplace_diag"):
+        for variant, _, _ in variants:
             sel = [r for r in rows if r.get("variant") == variant]
             ks = [r["khat"] for r in sel if np.isfinite(r["khat"])]
             mes = [r["moment_err_mean"] for r in sel
