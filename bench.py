@@ -558,7 +558,35 @@ def run_bench(d=1000, n_paths=100, maxiters=64, ndraws=1000, repeats=5,
                stats["khat_oracle_moment"])
         )
 
-    if remedy:
+    if remedy == "laplace":
+        # Cheap remedy column for the K=1000 production config (VERDICT
+        # r04 task 1): the diag Laplace correction on the default lbfgs
+        # trajectories, same keys — measured +4% wall at K=1000
+        # (LAPLACE_K1000_r05: khat 1.657 -> 1.234). The cg chain would
+        # double this config's cost, so it stays on the headline artifact.
+        _log("remedy run (laplace_resample diag on default trajectories, "
+             "same keys)...")
+        full_run_l = jax.jit(
+            _make_full_run(d, n_paths, config, target, laplace="diag")
+        )
+        out_l = full_run_l(key0)
+        _sync(out_l)
+        times_l, rows_l, _ = _timed_quality_repeats(
+            full_run_l, repeats, mean_true, sd_true, suffix="_laplace"
+        )
+        stats.update(_quality_spread(rows_l))
+        stats["elapsed_laplace_s"] = round(min(times_l), 4)
+        rng_l = stats.get("khat_laplace_range") or (
+            float("nan"), float("nan")
+        )
+        _log(
+            "remedy khat_laplace=%.2f [%.2f-%.2f] (%s) at %.3fs vs "
+            "default %.3fs"
+            % (stats["khat_laplace"], rng_l[0], rng_l[1],
+               stats.get("khat_laplace_verdict"),
+               stats["elapsed_laplace_s"], elapsed)
+        )
+    elif remedy:
         # The documented remedy for the headline "very bad" verdict is
         # optimizer="cg" / "auto" (docs/examples/resampling.md; measured
         # khat 0.94-1.7 vs lbfgs ~2 at this config, OPTCOMP_r04) — run it
@@ -755,8 +783,10 @@ def run_all_configs():
     # (run_bench reports the spread over its repeat keys itself)
     stats5 = run_bench(
         d=1000, n_paths=1000, maxiters=64, ndraws=10_000, repeats=nkeys,
-        oracle=False, remedy=False,  # the remedy column lives on the
-        # headline artifact; at K=1000 it would double this config's cost
+        oracle=False, remedy="laplace",  # the full cg remedy chain lives
+        # on the headline artifact (it would double this config's cost);
+        # the diag Laplace correction costs +4% and is the measured
+        # production remedy at K=1000 (LAPLACE_K1000_r05)
     )
     results.append(
         ("multipath_1000paths_hierarchical1000d_s", stats5["elapsed_s"],
@@ -765,6 +795,11 @@ def run_all_configs():
              "frac_paths_capped",
              "moment_err_mean_sd_units", "moment_err_mean_sd_units_range",
              "moment_err_sd_rel", "moment_err_sd_rel_range",
+             "khat_laplace", "khat_laplace_range", "khat_laplace_verdict",
+             "khat_laplace_verdict_stable", "elapsed_laplace_s",
+             "moment_err_mean_sd_units_laplace",
+             "moment_err_mean_sd_units_laplace_range",
+             "moment_err_sd_rel_laplace", "moment_err_sd_rel_laplace_range",
          ) if k in stats5})
     )
 
