@@ -31,7 +31,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def make_chunked_run(d, n_paths, cap, config, target, init_scale=2.0):
+def make_chunked_run(d, n_paths, cap, config, target, init_scale=2.0,
+                     slim=False):
     """The K>compiler-limit path (VERDICT r04 task 6): the optimizer stage
     runs as sequential launches of ONE compiled ``cap``-lane program via
     the product ``chunk_launches`` wrapper; the pooled PSIS/resample tail
@@ -49,9 +50,15 @@ def make_chunked_run(d, n_paths, cap, config, target, init_scale=2.0):
 
     base = make_path_executor(mesh=None)
     launch = jax.jit(lambda keys, x0s: base(keys, x0s, target, config))
-    executor = chunk_launches(
-        lambda keys, x0s, _t, _c: launch(keys, x0s), cap
-    )
+    if slim:
+        # keep_traces=False (the serving-scale HBM lever): drop each
+        # launch's trajectory buffers before the next chunk runs
+        from pathfinder_tpu.multipath import _slim_traces
+
+        inner = lambda keys, x0s, _t, _c: _slim_traces(launch(keys, x0s))  # noqa: E731
+    else:
+        inner = lambda keys, x0s, _t, _c: launch(keys, x0s)  # noqa: E731
+    executor = chunk_launches(inner, cap)
     ndraws = config.ndraws * n_paths
 
     @jax.jit
@@ -112,6 +119,11 @@ def main():
         help="cap lanes per launch (chunk_launches); measures the "
         "sequential-launch fallback for K beyond compiler limits",
     )
+    ap.add_argument(
+        "--slim", action="store_true",
+        help="keep_traces=False: drop each chunk's trajectory buffers "
+        "(requires --chunk); lifts the single-chip HBM ceiling",
+    )
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -131,7 +143,9 @@ def main():
             elbo_chunk=8,
         )
         if args.chunk:
-            run = make_chunked_run(d, k_paths, args.chunk, config, target)
+            run = make_chunked_run(
+                d, k_paths, args.chunk, config, target, slim=args.slim
+            )
         else:
             run = jax.jit(bench._make_full_run(d, k_paths, config, target))
         try:
@@ -158,6 +172,7 @@ def main():
         rows.append({
             "k_paths": k_paths, "d": d,
             **({"chunk": args.chunk} if args.chunk else {}),
+            **({"slim": True} if args.slim else {}),
             "steady_s": round(steady, 4),
             "times_s": [round(t, 4) for t in times],
             "compile_plus_first_s": round(compile_s, 2),

@@ -102,6 +102,30 @@ def _select_component_fits(states: SinglePathState) -> MvNormal:
     return states.fit_distribution
 
 
+def _slim_traces(states: SinglePathState) -> SinglePathState:
+    """Drop the per-path trajectory arrays (``keep_traces=False``), keeping
+    the scalar trace diagnostics (``num_valid``, eval/rejection counts).
+
+    The trace is the dominant per-path HBM consumer — xs + gradients are
+    2·(maxiters+1)·d floats ≈ 520 KB/path at the d=1000/maxiters=64
+    headline vs ~100 KB for everything else — and nothing pooled (mixture,
+    PSIS, resample, laplace_resample, warm starts, serialization) reads
+    it. Applied per launch *inside* the chunked executor, it caps peak HBM
+    at one chunk's trace + the slim accumulated states, lifting the
+    single-chip paths ceiling ~5× (K=16384 at d=1000 exhausts 16 GB with
+    traces kept, ``benchmarks/PATHS_CHUNK_r05.jsonl``). Trajectory slices
+    become zero-length, so trace-dependent lazy rebuilds
+    (``fit_distributions``/``elbo_estimates``) raise with guidance."""
+    tr = states.trace
+    # batched over paths: trajectory axis is axis 1
+    slim = tr._replace(
+        xs=tr.xs[:, :0],
+        log_densities=tr.log_densities[:, :0],
+        gradients=tr.gradients[:, :0],
+    )
+    return states._replace(trace=slim)
+
+
 @jax.jit
 def _log_importance_ratios_fit(components: MvNormal, draws_knd: jax.Array):
     """logq of each draw under *its own* component (not the mixture!) —
@@ -256,6 +280,7 @@ def multipathfinder(
     gtol: float = 1e-8,
     mesh=None,
     max_paths_per_launch: Optional[int] = None,
+    keep_traces: bool = True,
     dtype=None,
     progress: bool = False,
     transform=None,
@@ -274,7 +299,14 @@ def multipathfinder(
     fixed cap is fully deterministic, and different caps agree up to
     XLA's per-batch-size rounding (last few ulps — see
     :func:`pathfinder_tpu.parallel.sharding.chunk_launches`). Use it when
-    a very large ``nruns`` hits compiler limits. The reference's
+    a very large ``nruns`` hits compiler limits. ``keep_traces=False``
+    drops each path's trajectory arrays after its launch (the dominant
+    per-path HBM cost; see :func:`_slim_traces`) — combined with
+    ``max_paths_per_launch`` this is the serving-scale configuration that
+    lifts the single-chip paths ceiling ~5×. Draws, the mixture, PSIS,
+    ``resample``/``laplace_resample``, warm starts, and serialization are
+    unaffected (bit-identical); only per-path ``fit_distributions`` /
+    ``elbo_estimates`` rebuilds become unavailable. The reference's
     ``ntasks``/``ntasks_per_run`` have no analog — everything is batched.
 
     ``fn`` may also be a ``BayesModel`` or ``TransformedLogDensity``, or
@@ -392,7 +424,8 @@ def multipathfinder(
             history_length=history_length, maxiters=maxiters,
             ntries=ntries, init_scale=init_scale,
             init_sampler=init_sampler, gtol=gtol, mesh=mesh,
-            max_paths_per_launch=max_paths_per_launch, dtype=dtype,
+            max_paths_per_launch=max_paths_per_launch,
+            keep_traces=keep_traces, dtype=dtype,
             progress=progress, transform=transform,
         )
         def _khat(r):
@@ -549,9 +582,17 @@ def multipathfinder(
     # program when K exceeds the cap — very large single programs hit
     # compiler limits long before HBM (see chunk_launches); keys depend
     # only on (path id, round), so results are bit-identical either way
-    executor = chunk_launches(
-        make_path_executor(mesh), max_paths_per_launch, mesh
-    )
+    inner_executor = make_path_executor(mesh)
+    if not keep_traces:
+        # slim each launch's output so chunked launches free the previous
+        # chunk's trajectory buffers before the next one runs (the whole
+        # point of keep_traces=False — see _slim_traces)
+        base_executor = inner_executor
+
+        def inner_executor(keys, x0s, target, config):
+            return _slim_traces(base_executor(keys, x0s, target, config))
+
+    executor = chunk_launches(inner_executor, max_paths_per_launch, mesh)
 
     def path_keys(path_ids, round_idx: int):
         # THE key-derivation rule: fold (path id, round) into the master

@@ -290,6 +290,13 @@ class PathfinderResult:
     def fit_distributions(self) -> MvNormal:
         """Batched MvNormal over trajectory points 0..maxiters (parity:
         ``PathfinderResult.fit_distributions``), rebuilt on demand."""
+        if self.optim_trace.xs.shape[0] == 0:
+            raise ValueError(
+                "the trajectory trace was dropped (multipathfinder ran "
+                "with keep_traces=False), so per-point fits cannot be "
+                "rebuilt; re-run with keep_traces=True to use "
+                "fit_distributions / elbo_estimates"
+            )
         cfg = self.config
         fits, mask, _ = lbfgs_inverse_hessians(
             self.optim_trace,

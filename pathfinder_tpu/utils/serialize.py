@@ -299,6 +299,7 @@ def load_result(path: str, fn=None):
     (and ``transform`` for model inputs) are re-bound so importance
     re-resampling works on the loaded result.
     """
+    path = os.fspath(path)  # accept pathlib.Path like np.load does
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)

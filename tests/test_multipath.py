@@ -1032,3 +1032,68 @@ class TestChunkedLaunches:
 
         with pytest.raises(ValueError, match="positive"):
             chunk_launches(lambda *a: None, 0)
+
+
+class TestKeepTraces:
+    """``keep_traces=False`` drops trajectory arrays per launch — the
+    serving-scale HBM lever (with chunked launches, peak HBM = one chunk's
+    trace + slim states; see ``_slim_traces``). Slimming happens outside
+    the jitted core, so every output is bit-identical to the default."""
+
+    def test_bit_identical_outputs(self):
+        res_full, _ = run_multi(key=5, nruns=6, ndraws=100)
+        res_slim, _ = run_multi(
+            key=5, nruns=6, ndraws=100, keep_traces=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_full.draws), np.asarray(res_slim.draws)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_full.states.fit_iteration),
+            np.asarray(res_slim.states.fit_iteration),
+        )
+        assert float(res_full.psis_result.pareto_shape) == float(
+            res_slim.psis_result.pareto_shape
+        )
+
+    def test_trace_dropped_scalars_kept_and_guard(self):
+        res, _ = run_multi(key=5, nruns=4, ndraws=50, keep_traces=False)
+        # trajectory arrays are zero-length; scalar diagnostics survive
+        assert res.states.trace.xs.shape[1] == 0
+        assert res.states.trace.gradients.shape[1] == 0
+        assert res.states.trace.log_densities.shape[1] == 0
+        assert int(np.asarray(res.states.trace.num_valid).min()) >= 1
+        pr = res.path_result(0)
+        repr(pr)  # repr reads num_valid, not the arrays
+        assert pr.num_fn_evals > 0
+        with pytest.raises(ValueError, match="keep_traces"):
+            pr.fit_distributions
+        with pytest.raises(ValueError, match="keep_traces"):
+            pr.elbo_estimates
+
+    def test_composes_with_chunking_resample_laplace(self, tmp_path):
+        from pathfinder_tpu.multipath import laplace_resample, resample
+        from pathfinder_tpu.utils.serialize import load_result, save_result
+
+        res_full, _ = run_multi(key=6, nruns=8, ndraws=100)
+        res, target = run_multi(
+            key=6, nruns=8, ndraws=100, keep_traces=False,
+            max_paths_per_launch=3,
+        )
+        # chunked+slim agrees with the default up to XLA per-batch-size
+        # codegen rounding (same tolerance as TestChunkedLaunches)
+        np.testing.assert_allclose(
+            np.asarray(res_full.draws), np.asarray(res.draws),
+            atol=1e-4, rtol=1e-4,
+        )
+        res2 = resample(res, 64)
+        assert res2.draws.shape == (5, 64)
+        cor = laplace_resample(res, 64, method="diag")
+        assert cor.draws.shape == (5, 64)
+        path = tmp_path / "slim.npz"
+        save_result(path, res)
+        back = load_result(path, fn=target)
+        np.testing.assert_array_equal(
+            np.asarray(back.draws), np.asarray(res.draws)
+        )
+        assert back.states.trace.xs.shape[1] == 0
