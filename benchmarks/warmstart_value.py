@@ -236,6 +236,9 @@ def main():
                     "plugin, so this must be a config update)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny chains/warmup for a fast smoke run")
+    ap.add_argument("--targets", nargs="*", default=None,
+                    help="subset of {logreg25, corrgauss100, funnel101} "
+                    "to run (default: all)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -255,32 +258,37 @@ def main():
     ww = 20 if args.quick else 100    # warm-started warmup length
     rows = []
 
+    def want(name):
+        return args.targets is None or name in args.targets
+
     # target 1: Bayesian logistic regression d=25 (long-NUTS truth on
     # disk; the reference integration tests' realistic-model role)
-    X, y, _ = german_credit_synthetic(n=1000, d=25, seed=0)
-    t1 = LogisticRegression(X.astype(np.float32), y.astype(np.float32))
-    truth = np.load(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "logreg25_truth.npz"
-    ))
-    rows += run_target(
-        "logreg25", t1, truth["mean"], truth["sd"], jax.random.key(0),
-        nruns=8, pf_maxiters=64,
-        standalone_warmup=sw, warmstart_warmup=ww,
-    )
+    if want("logreg25"):
+        X, y, _ = german_credit_synthetic(n=1000, d=25, seed=0)
+        t1 = LogisticRegression(X.astype(np.float32), y.astype(np.float32))
+        truth = np.load(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "logreg25_truth.npz"
+        ))
+        rows += run_target(
+            "logreg25", t1, truth["mean"], truth["sd"], jax.random.key(0),
+            nruns=8, pf_maxiters=64,
+            standalone_warmup=sw, warmstart_warmup=ww,
+        )
 
     # target 2: 100-D correlated Gaussian (analytic truth; ill-conditioned
     # enough that the metric choice dominates NUTS cost). matched_factor=4:
     # r04 measured warm-started min bulk ESS 852 vs 3089 standalone at
     # equal draw counts — the matched arm extends sampling ~4x so the
     # total-eval comparison is at matched delivered ESS (VERDICT task 5)
-    t2 = CorrelatedGaussian(100, seed=11)
-    rows += run_target(
-        "corrgauss100", t2, np.asarray(t2.mean),
-        np.sqrt(np.diag(np.asarray(t2.cov))), jax.random.key(1),
-        nruns=8, pf_maxiters=128,
-        standalone_warmup=sw, warmstart_warmup=ww,
-        matched_factor=4,
-    )
+    if want("corrgauss100"):
+        t2 = CorrelatedGaussian(100, seed=11)
+        rows += run_target(
+            "corrgauss100", t2, np.asarray(t2.mean),
+            np.sqrt(np.diag(np.asarray(t2.cov))), jax.random.key(1),
+            nruns=8, pf_maxiters=128,
+            standalone_warmup=sw, warmstart_warmup=ww,
+            matched_factor=4,
+        )
 
     # target 3: 101-D Neal's funnel — the config where importance
     # sampling is measured hopeless (bench --all config 3: fit khat 1.09
@@ -290,21 +298,30 @@ def main():
     # standalone NUTS. Marginal truth: v ~ N(0, 3²); x_i mean 0,
     # sd = exp(4.5/2) (scale mixture — heavy-tailed, so ESS/moment
     # errors converge slowly; same convention as bench config 3).
-    t3 = NealsFunnel(101)
-    sd3 = np.concatenate(
-        [[3.0], np.full(100, np.exp(4.5 / 2))]
-    ).astype(np.float64)
-    rows += run_target(
-        "funnel101", t3, np.zeros(101), sd3, jax.random.key(2),
-        nruns=8, pf_maxiters=128,
-        standalone_warmup=sw, warmstart_warmup=ww,
-    )
+    if want("funnel101"):
+        t3 = NealsFunnel(101)
+        sd3 = np.concatenate(
+            [[3.0], np.full(100, np.exp(4.5 / 2))]
+        ).astype(np.float64)
+        # matched_factor=8: at 1000 samples neither arm converges the
+        # funnel (r05: rhat 1.71 standalone / 1.37 warm-started) — the
+        # extended arm measures where warm-started sampling actually
+        # lands with an 8x budget (still far fewer total evals than
+        # standalone's warmup alone)
+        rows += run_target(
+            "funnel101", t3, np.zeros(101), sd3, jax.random.key(2),
+            nruns=8, pf_maxiters=128,
+            standalone_warmup=sw, warmstart_warmup=ww,
+            matched_factor=8,
+        )
 
     out_lines = [json.dumps(r) for r in rows]
     for ln in out_lines:
         print(ln)
     # headline ratios (stderr, human-readable)
     for tname in ("logreg25", "corrgauss100", "funnel101"):
+        if not want(tname):
+            continue
         a = next(r for r in rows if r["target"] == tname
                  and r["arm"] == "standalone_nuts")
         b = next(r for r in rows if r["target"] == tname
