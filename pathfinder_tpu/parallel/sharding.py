@@ -22,6 +22,7 @@ shape, because every path's randomness comes from ``fold_in(key, path_id)``
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional
 
@@ -71,13 +72,34 @@ def paths_dim_mesh(n_paths_axis: int, devices=None) -> Mesh:
     )
 
 
-def pad_paths(n: int, mesh: Optional[Mesh]) -> int:
+# XLA batch-size cliff, measured on v5e at the d=1000 headline pipeline
+# (benchmarks/PATHS_CLIFF_r05.jsonl + PATHS_CLIFF2_r05.jsonl): for large
+# path counts that are NOT multiples of 256, XLA compiles a ~1.5× slower
+# per-path core (K=3000/4000/5000 → ~1000 paths/s vs 1400–1575 at every
+# multiple of 256 from 2048 through 6144 — same program modulo K).
+# Padding to the next multiple of 256 wastes ≤ 255 lanes (≤ 12% at the
+# 2048 threshold, ≤ 5% at K ≥ 5000) and was strictly faster in absolute
+# wall time at every misaligned K measured (e.g. 4000 → 4096: 4.02 s →
+# 2.65 s). Below the threshold the cliff does not exist (K=1000 measured
+# fast unaligned), so small runs are never padded.
+PATHS_ALIGN = 256
+PATHS_ALIGN_MIN_K = 2048
+
+
+def pad_paths(n: int, mesh: Optional[Mesh], align: bool = True) -> int:
     """Smallest K' ≥ n divisible by the mesh's ``paths`` axis (1 when
-    unsharded)."""
-    if mesh is None:
-        return n
-    size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
-    return ((n + size - 1) // size) * size
+    unsharded) — and, for ``n ≥ PATHS_ALIGN_MIN_K``, by ``PATHS_ALIGN``
+    (the measured XLA batch-size cliff; see the constants above).
+    Padding lanes run with their own ``fold_in(key, path_id)`` keys and
+    are discarded, so alignment changes no result."""
+    size = 1
+    if mesh is not None:
+        size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
+    K = ((n + size - 1) // size) * size
+    if align and K >= PATHS_ALIGN_MIN_K:
+        a = PATHS_ALIGN * size // math.gcd(PATHS_ALIGN, size)
+        K = ((K + a - 1) // a) * a
+    return K
 
 
 def chunk_launches(executor, cap: Optional[int], mesh: Optional[Mesh] = None):

@@ -164,6 +164,22 @@ def test_mesh_padding_non_divisible():
     assert np.all(np.asarray(res.states.success))
 
 
+def test_pad_paths_alignment_rule():
+    """Large K pads to a multiple of 256 (the measured XLA batch-size
+    cliff, PATHS_CLIFF2_r05); small K is never padded; mesh divisibility
+    composes; align=False opts out."""
+    from pathfinder_tpu.parallel.sharding import pad_paths
+
+    mesh4 = paths_mesh(jax.devices()[:4])
+    assert pad_paths(100, None) == 100
+    assert pad_paths(2047, None) == 2047  # below the threshold: unchanged
+    assert pad_paths(2048, None) == 2048
+    assert pad_paths(3000, None) == 3072
+    assert pad_paths(4000, mesh4) == 4096
+    assert pad_paths(3000, None, align=False) == 3000
+    assert pad_paths(6, mesh4) == 8  # mesh rule unchanged at small K
+
+
 def _nan_wall_logp(x):
     """N(0, I) inside |x|_inf < 3, NaN outside — the forced-retry target
     shared by the retry tests (init_scale 8 => ~14% in-support per try)."""
