@@ -37,10 +37,15 @@ NRUNS = 100
 NDRAWS = 1000
 
 VARIANTS = (
-    ("default", dict(optimizer="lbfgs")),
-    ("auto", dict(optimizer="auto")),
-    ("auto_laplace_diag", dict(optimizer="auto", auto_laplace="diag")),
-    ("auto_laplace_full", dict(optimizer="auto", auto_laplace="full")),
+    ("default", dict(optimizer="lbfgs"), None),
+    ("auto", dict(optimizer="auto"), None),
+    ("auto_laplace_diag", dict(optimizer="auto", auto_laplace="diag"), None),
+    ("auto_laplace_full", dict(optimizer="auto", auto_laplace="full"), None),
+    # the strongest bench-measured remedy chain (khat_cg_laplace 0.855
+    # [0.72-1.01] via bench's pipeline builder), exactly as users call
+    # it: multipathfinder(optimizer="cg") then
+    # laplace_resample(res, ndraws, method="diag")
+    ("cg_laplace_diag", dict(optimizer="cg"), "diag"),
 )
 
 
@@ -51,6 +56,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--d", type=int, default=D)
     ap.add_argument("--nruns", type=int, default=NRUNS)
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="subset of variant names to run (default: all)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -58,7 +65,7 @@ def main():
     import bench
     from benchmarks.jsonl_util import dump_row
     from pathfinder_tpu.models.zoo import HierarchicalGaussian
-    from pathfinder_tpu.multipath import multipathfinder
+    from pathfinder_tpu.multipath import laplace_resample, multipathfinder
     from pathfinder_tpu.ops.psis import pareto_k_verdict
 
     extra = bench.ensure_backend_reachable()
@@ -77,16 +84,22 @@ def main():
             fh.flush()
             print(row, flush=True)
 
-        for name, kw in VARIANTS:
+        for name, kw, post in VARIANTS:
+            if args.variants is not None and name not in args.variants:
+                continue
+
             def run(key):
                 with warnings.catch_warnings():
                     # the new bad-khat hint is expected here; keep the
                     # measurement log clean
                     warnings.simplefilter("ignore")
-                    return multipathfinder(
+                    res = multipathfinder(
                         target, NDRAWS, key=key, nruns=nruns,
                         maxiters=64, ndraws_elbo=5, elbo_chunk=8, **kw,
                     )
+                    if post is not None:
+                        res = laplace_resample(res, NDRAWS, method=post)
+                    return res
 
             res = run(jax.random.key(0))  # compile warm-up, off the clock
             np.asarray(res.draws).ravel()[0]
@@ -110,9 +123,11 @@ def main():
                     n_success=int(np.asarray(res.states.success).sum()),
                 )
 
-        for name, _ in VARIANTS:
+        for name, _, _ in VARIANTS:
             sel = [r for r in rows if r.get("variant") == name
                    and not r.get("summary")]
+            if not sel:
+                continue
             ks = [r["khat"] for r in sel if np.isfinite(r["khat"])]
             verdicts = {r["verdict"] for r in sel}
             record(
