@@ -744,10 +744,16 @@ def run_all_configs():
             "moment_err_mean": me, "moment_err_sd": se,
         }
 
-    results.append(
-        ("multipath_8paths_funnel101_s", t,
-         _spread_over_keys(run3, _quality3, range(3, 3 + nkeys)))
+    q3 = _spread_over_keys(run3, _quality3, range(3, 3 + nkeys))
+    # every IS lever is measured negative on this geometry (laplace
+    # 1.09->1.21/1.45, cg 4.56, mixture denom 1.06); the shipped remedy
+    # is the sampler path (WARMSTART_r05: moment err 0.52->0.035 sd at
+    # 3.4x fewer evals than standalone NUTS)
+    q3["khat_remedy"] = (
+        "funnel-like geometry: warm_start_chains + NUTS "
+        "(benchmarks/WARMSTART_r05.jsonl; docs/examples/resampling.md)"
     )
+    results.append(("multipath_8paths_funnel101_s", t, q3))
 
     # config 4: Bayesian logistic regression d=25, 32 paths
     X, y, _ = german_credit_synthetic(n=1000, d=25, seed=0)
