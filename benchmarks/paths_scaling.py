@@ -101,6 +101,31 @@ def make_chunked_run(d, n_paths, cap, config, target, init_scale=2.0,
     def full_run(key):
         keys, x0s = make_inputs(key)
         states = executor(keys, x0s, None, None)
+        if slim:
+            # chunked tail (the serving-scale shape): per-block ratio
+            # programs + one tiny pooled psis fit + a small resample
+            # program — at K=32768 the monolithic tail program is what
+            # hit the relay's compile limit
+            components = _select_component_fits(states)
+            draws_knd = jnp.swapaxes(states.draws, 1, 2)
+            psis_result = _compute_psis_result(
+                target.logp, components, draws_knd, chunk=cap
+            )
+            draws, _ = resample_draws(
+                jax.random.fold_in(key, 0x5E5A), draws_knd, psis_result,
+                ndraws,
+            )
+            return (
+                draws,
+                psis_result.pareto_shape,
+                states.success,
+                states.num_fn_evals,
+                jnp.sum(states.trace.num_valid - 1) * config.ndraws_elbo
+                + draws_knd.shape[0] * draws_knd.shape[1],
+                states.trace.num_valid,
+                states.trace.num_ls_exhausted,
+                components.mean,
+            )
         return tail(key, states)
 
     return full_run

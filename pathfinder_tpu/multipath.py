@@ -154,17 +154,62 @@ def _log_importance_ratios_mixture(components: MvNormal, draws_knd: jax.Array):
     return logq_mix.reshape(K, N)
 
 
+@jax.jit
+def _log_ratios_component_block(components: MvNormal, draws_knd, logp_knd):
+    """Own-component log ratios for one path block (jitted once per block
+    shape; sequential-launch companion to :func:`chunk_launches`)."""
+    log_q = _log_importance_ratios_fit(components, draws_knd)
+    return (logp_knd - log_q).reshape(-1)
+
+
 def _compute_psis_result(
     logp: Callable, components: MvNormal, draws_knd: jax.Array,
     denominator: str = "component",
+    chunk: Optional[int] = None,
 ) -> PSISResult:
     """Parity: ``_compute_psis_result`` (``src/resample.jl:74-95``).
 
     ``denominator="component"`` reproduces the reference's own-component
     log-ratios; ``"mixture"`` uses the full-mixture logpdf (lower-variance
     weights, better Pareto-k̂ — see
-    :func:`_log_importance_ratios_mixture`)."""
+    :func:`_log_importance_ratios_mixture`).
+
+    ``chunk`` (own-component denominator only) computes the per-path log
+    ratios in sequential launches of one fixed-shape ``chunk``-path
+    program — the tail analog of ``max_paths_per_launch``: at serving-
+    scale K one monolithic ratio program hits the same compiler limits
+    the executor does (measured: K=32768 tail 500s in the relay's
+    remote-compile helper). The K·N pooled scalars then feed ONE tiny
+    ``psis`` fit, identical to the unchunked result (ratios are
+    elementwise per path; only concatenation order matters, and blocks
+    preserve component-major order). The mixture denominator needs every
+    component against every draw (K²·N) and is not chunked."""
+    log_p_fn = jax.vmap(jax.vmap(logp))  # NOT re-wrapped in jit here: a
+    # fresh jit per call would split the compile cache (NOTES round-3)
     if denominator == "component":
+        K = draws_knd.shape[0]
+        if chunk is not None and 0 < chunk < K:
+            n_blocks = -(-K // chunk)
+            pad = n_blocks * chunk - K
+            comps = components
+            dk = draws_knd
+            if pad:
+                take = jnp.concatenate(
+                    [jnp.arange(K), jnp.zeros((pad,), jnp.int32)]
+                )
+                comps = jax.tree_util.tree_map(lambda l: l[take], comps)
+                dk = dk[take]
+            ratios = jnp.concatenate([
+                _log_ratios_component_block(
+                    jax.tree_util.tree_map(
+                        lambda l: l[b * chunk : (b + 1) * chunk], comps
+                    ),
+                    dk[b * chunk : (b + 1) * chunk],
+                    log_p_fn(dk[b * chunk : (b + 1) * chunk]),
+                )
+                for b in range(n_blocks)
+            ])
+            return psis(ratios[: K * draws_knd.shape[1]])
         log_q = _log_importance_ratios_fit(components, draws_knd)
     elif denominator == "mixture":
         log_q = _log_importance_ratios_mixture(
@@ -172,7 +217,7 @@ def _compute_psis_result(
         )
     else:
         raise ValueError(f"unknown importance_denominator {denominator!r}")
-    log_p = jax.vmap(jax.vmap(logp))(draws_knd)  # (K, N)
+    log_p = log_p_fn(draws_knd)  # (K, N)
     log_ratios = (log_p - log_q).reshape(-1)  # component-major
     return psis(log_ratios)
 
@@ -684,6 +729,13 @@ def multipathfinder(
         _compute_psis_result(
             target.logp, components, draws_knd,
             denominator=importance_denominator,
+            # the tail analog of chunked launches: one fixed-shape
+            # ratio program per path block (component denominator only)
+            chunk=(
+                max_paths_per_launch
+                if importance_denominator == "component"
+                else None
+            ),
         )
         if importance
         else None

@@ -1050,6 +1050,34 @@ class TestChunkedLaunches:
             chunk_launches(lambda *a: None, 0)
 
 
+def test_chunked_psis_matches_unchunked():
+    """The tail analog of chunked launches: block-computed own-component
+    log ratios feed one pooled psis() fit — same k-hat and weights as the
+    monolithic program (up to XLA per-batch-size rounding), including
+    when the chunk does not divide K."""
+    from pathfinder_tpu.multipath import (
+        _compute_psis_result,
+        _select_component_fits,
+    )
+
+    res, target = run_multi(key=7, nruns=10, ndraws=100)
+    comps = _select_component_fits(res.states)
+    draws_knd = jnp.swapaxes(res.states.draws, 1, 2)
+    full = _compute_psis_result(target.logp, comps, draws_knd)
+    for chunk in (3, 5, 16):  # non-divisor, divisor, > K
+        blocked = _compute_psis_result(
+            target.logp, comps, draws_knd, chunk=chunk
+        )
+        np.testing.assert_allclose(
+            float(full.pareto_shape), float(blocked.pareto_shape),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full.weights), np.asarray(blocked.weights),
+            rtol=1e-5, atol=1e-9,
+        )
+
+
 class TestKeepTraces:
     """``keep_traces=False`` drops trajectory arrays per launch — the
     serving-scale HBM lever (with chunked launches, peak HBM = one chunk's
