@@ -190,25 +190,28 @@ def _compute_psis_result(
         K = draws_knd.shape[0]
         if chunk is not None and 0 < chunk < K:
             n_blocks = -(-K // chunk)
-            pad = n_blocks * chunk - K
-            comps = components
-            dk = draws_knd
-            if pad:
-                take = jnp.concatenate(
-                    [jnp.arange(K), jnp.zeros((pad,), jnp.int32)]
+
+            def block(b):
+                lo, hi = b * chunk, min((b + 1) * chunk, K)
+                # pad ONLY the final partial block (a chunk-sized copy);
+                # padding the whole tree would transiently double the
+                # per-path state — the thing chunking exists to avoid
+                def take(leaf):
+                    part = leaf[lo:hi]
+                    if hi - lo == chunk:
+                        return part
+                    fill = jnp.broadcast_to(
+                        part[:1], (chunk - (hi - lo),) + part.shape[1:]
+                    )
+                    return jnp.concatenate([part, fill])
+
+                comps_b = jax.tree_util.tree_map(take, components)
+                dk_b = take(draws_knd)
+                return _log_ratios_component_block(
+                    comps_b, dk_b, log_p_fn(dk_b)
                 )
-                comps = jax.tree_util.tree_map(lambda l: l[take], comps)
-                dk = dk[take]
-            ratios = jnp.concatenate([
-                _log_ratios_component_block(
-                    jax.tree_util.tree_map(
-                        lambda l: l[b * chunk : (b + 1) * chunk], comps
-                    ),
-                    dk[b * chunk : (b + 1) * chunk],
-                    log_p_fn(dk[b * chunk : (b + 1) * chunk]),
-                )
-                for b in range(n_blocks)
-            ])
+
+            ratios = jnp.concatenate([block(b) for b in range(n_blocks)])
             return psis(ratios[: K * draws_knd.shape[1]])
         log_q = _log_importance_ratios_fit(components, draws_knd)
     elif denominator == "mixture":
@@ -244,6 +247,10 @@ class MultiPathfinderResult:
     # which log-ratio denominator produced psis_result ("component" or
     # "mixture") — lets resample reuse or recompute correctly
     importance_denominator: str = "component"
+    # the launch cap the run used (None = single program); resample /
+    # laplace_resample reuse it so PSIS recomputes on a serving-scale
+    # result stay block-wise instead of compiling one monolithic program
+    max_paths_per_launch: Optional[int] = None
 
     @property
     def nruns(self) -> int:
@@ -765,6 +772,7 @@ def multipathfinder(
         target=target,
         transform=tld,
         importance_denominator=importance_denominator,
+        max_paths_per_launch=max_paths_per_launch,
     )
 
 
@@ -821,6 +829,7 @@ def resample(
             else _compute_psis_result(
                 result.logp, components, draws_knd,
                 denominator=effective_denom,
+                chunk=getattr(result, "max_paths_per_launch", None),
             )
         )
     else:
@@ -1042,7 +1051,8 @@ def laplace_resample(
     )
     psis_used = (
         _compute_psis_result(
-            result.logp, corrected, draws_knd, denominator=effective_denom
+            result.logp, corrected, draws_knd, denominator=effective_denom,
+            chunk=getattr(result, "max_paths_per_launch", None),
         )
         if importance
         else None
