@@ -24,6 +24,7 @@ from pathfinder_tpu.ops.mvnormal import MvNormal, UniformMixture
 from pathfinder_tpu.ops.woodbury import WoodburyPDMat
 from pathfinder_tpu.ops.psis import PSISResult, psis
 from pathfinder_tpu.ops.resample import resample_draws
+from pathfinder_tpu.parallel import sharding as _sharding
 from pathfinder_tpu.parallel.sharding import (
     chunk_launches,
     make_path_executor,
@@ -350,8 +351,12 @@ def multipathfinder(
     the path id, so no randomness or algorithmic decision changes; a
     fixed cap is fully deterministic, and different caps agree up to
     XLA's per-batch-size rounding (last few ulps — see
-    :func:`pathfinder_tpu.parallel.sharding.chunk_launches`). Use it when
-    a very large ``nruns`` hits compiler limits. ``keep_traces=False``
+    :func:`pathfinder_tpu.parallel.sharding.chunk_launches`). Default
+    ``None`` resolves transparently: one program up to the measured
+    single-program ceiling (``sharding.SINGLE_PROGRAM_MAX_K`` = 6144
+    lanes), sequential ``sharding.DEFAULT_LAUNCH_CAP``-lane (4096)
+    launches past it — serving-scale ``nruns`` just works; pass a cap
+    ≥ ``nruns`` to force a single program. ``keep_traces=False``
     drops each path's trajectory arrays after its launch (the dominant
     per-path HBM cost; see :func:`_slim_traces`) — combined with
     ``max_paths_per_launch`` this is the serving-scale configuration that
@@ -633,7 +638,12 @@ def multipathfinder(
     # chunk the path axis over sequential launches of one fixed-shape
     # program when K exceeds the cap — very large single programs hit
     # compiler limits long before HBM (see chunk_launches); keys depend
-    # only on (path id, round), so results are bit-identical either way
+    # only on (path id, round), so results are bit-identical either way.
+    # Transparent default (VERDICT r04 task 6): past the measured
+    # single-program ceiling, chunk automatically so serving-scale nruns
+    # just works (constants + measurements: parallel/sharding.py)
+    if max_paths_per_launch is None and K > _sharding.SINGLE_PROGRAM_MAX_K:
+        max_paths_per_launch = _sharding.DEFAULT_LAUNCH_CAP
     inner_executor = make_path_executor(mesh)
     if not keep_traces:
         # slim each launch's output so chunked launches free the previous

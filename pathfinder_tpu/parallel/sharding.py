@@ -85,6 +85,20 @@ def paths_dim_mesh(n_paths_axis: int, devices=None) -> Mesh:
 PATHS_ALIGN = 256
 PATHS_ALIGN_MIN_K = 2048
 
+# Single-program size ceiling, measured on v5e at the d=1000 headline
+# pipeline (benchmarks/PATHS_SCALING_r04.jsonl + PATHS_CLIFF2_r05.jsonl):
+# K=6144 lanes compile and run in one program; K=7168 fails in the
+# backend's compile helper while HBM sits at ~25% — the limit is the
+# compiler, not memory. Past the ceiling, ``multipathfinder``
+# transparently runs sequential launches of one fixed-shape
+# ``DEFAULT_LAUNCH_CAP``-lane program instead (measured 1491–1541
+# paths/s at K=8192/16384, benchmarks/PATHS_CHUNK_r05.jsonl +
+# PATHS_SLIM_r05.jsonl — no throughput cliff at the chunk seams). An
+# explicit ``max_paths_per_launch`` always wins; pass a cap ≥ nruns to
+# force a single program.
+SINGLE_PROGRAM_MAX_K = 6144
+DEFAULT_LAUNCH_CAP = 4096
+
 
 def pad_paths(n: int, mesh: Optional[Mesh], align: bool = True) -> int:
     """Smallest K' ≥ n divisible by the mesh's ``paths`` axis (1 when

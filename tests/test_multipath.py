@@ -1049,6 +1049,39 @@ class TestChunkedLaunches:
         with pytest.raises(ValueError, match="positive"):
             chunk_launches(lambda *a: None, 0)
 
+    def test_auto_cap_past_single_program_ceiling(self, monkeypatch):
+        """``max_paths_per_launch=None`` resolves transparently: past the
+        measured single-program ceiling (sharding.SINGLE_PROGRAM_MAX_K)
+        the driver chunks at sharding.DEFAULT_LAUNCH_CAP on its own
+        (VERDICT r04 task 6 "transparently chunks"), records the
+        resolved cap on the result (so resample/laplace PSIS recomputes
+        stay block-wise), and matches an explicit-cap run bit-for-bit."""
+        from pathfinder_tpu.parallel import sharding
+
+        monkeypatch.setattr(sharding, "SINGLE_PROGRAM_MAX_K", 6)
+        monkeypatch.setattr(sharding, "DEFAULT_LAUNCH_CAP", 4)
+        res_auto, _ = run_multi(key=4, nruns=10, ndraws=100)
+        assert res_auto.max_paths_per_launch == 4
+        res_explicit, _ = run_multi(
+            key=4, nruns=10, ndraws=100, max_paths_per_launch=4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_auto.draws), np.asarray(res_explicit.draws)
+        )
+        # below the ceiling: single program, nothing recorded
+        monkeypatch.setattr(sharding, "SINGLE_PROGRAM_MAX_K", 64)
+        res_small, _ = run_multi(key=4, nruns=10, ndraws=100)
+        assert res_small.max_paths_per_launch is None
+        # an explicit cap >= nruns forces a single program (documented
+        # opt-out) even past the ceiling
+        monkeypatch.setattr(sharding, "SINGLE_PROGRAM_MAX_K", 6)
+        res_forced, _ = run_multi(
+            key=4, nruns=10, ndraws=100, max_paths_per_launch=10
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_small.draws), np.asarray(res_forced.draws)
+        )
+
 
 def test_chunked_psis_matches_unchunked():
     """The tail analog of chunked launches: block-computed own-component
