@@ -334,6 +334,7 @@ def multipathfinder(
     mesh=None,
     max_paths_per_launch: Optional[int] = None,
     keep_traces: bool = True,
+    offload_launches: Optional[bool] = None,
     dtype=None,
     progress: bool = False,
     transform=None,
@@ -360,7 +361,16 @@ def multipathfinder(
     drops each path's trajectory arrays after its launch (the dominant
     per-path HBM cost; see :func:`_slim_traces`) — combined with
     ``max_paths_per_launch`` this is the serving-scale configuration that
-    lifts the single-chip paths ceiling ~5×. Draws, the mixture, PSIS,
+    lifts the single-chip paths ceiling ~5×. ``offload_launches`` streams
+    each chunk's (slim) output to host RAM as it completes, so per-path
+    state never accumulates in HBM — host memory becomes the paths-axis
+    ceiling (the third serving-scale lever; measured K=32768+ at d=1000
+    on one 16 GB chip, where on-device accumulation RESOURCE_EXHAUSTEDs).
+    Default ``None`` auto-offloads when the accumulated launch outputs
+    would exceed ``sharding.OFFLOAD_AUTO_BYTES`` (2 GiB); values are
+    bit-identical either way (device→host round trips preserve bits; the
+    PSIS tail and resample then feed one path block at a time from host,
+    and ``result.states`` holds numpy leaves). Draws, the mixture, PSIS,
     ``resample``/``laplace_resample``, warm starts, and serialization are
     unaffected (bit-identical); only per-path ``fit_distributions`` /
     ``elbo_estimates`` rebuilds become unavailable. The reference's
@@ -654,7 +664,9 @@ def multipathfinder(
         def inner_executor(keys, x0s, target, config):
             return _slim_traces(base_executor(keys, x0s, target, config))
 
-    executor = chunk_launches(inner_executor, max_paths_per_launch, mesh)
+    executor = chunk_launches(
+        inner_executor, max_paths_per_launch, mesh, offload=offload_launches
+    )
 
     def path_keys(path_ids, round_idx: int):
         # THE key-derivation rule: fold (path id, round) into the master
@@ -716,6 +728,12 @@ def multipathfinder(
         retry = jax.tree_util.tree_map(lambda leaf: leaf[: len(fidx)], retry)
 
         def merge(old, new):
+            if isinstance(old, np.ndarray):
+                # offloaded launches accumulate on host; keep them there
+                # (re-uploading K-scale state would defeat the offload)
+                out = old.copy()
+                out[fidx] = np.asarray(new)
+                return out
             return old.at[jnp.asarray(fidx)].set(new)
 
         states = jax.tree_util.tree_map(merge, states, retry)
@@ -740,7 +758,11 @@ def multipathfinder(
 
     components = _select_component_fits(states)
     mixture = UniformMixture(components)
-    draws_knd = jnp.swapaxes(states.draws, 1, 2)  # (K, N, d)
+    # host-offloaded states stay on host: np.swapaxes is a view, and the
+    # block-chunked PSIS tail + host-pool resample transfer one block at
+    # a time (jnp.swapaxes here would re-upload the whole K-scale pool)
+    xp = np if isinstance(states.draws, np.ndarray) else jnp
+    draws_knd = xp.swapaxes(states.draws, 1, 2)  # (K, N, d)
 
     psis_result = (
         _compute_psis_result(

@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pathfinder_tpu.ops.psis import PSISResult
 
@@ -81,6 +82,13 @@ def resample_draws(
     flat = draws_per_component.reshape(K * N, d)
     lw = None if psis_result is None else psis_result.log_weights
     idx = resample_indices(key, K * N, ndraws, lw, replace=replace)
-    draws = flat[idx].T
+    if isinstance(flat, np.ndarray):
+        # host-offloaded pool (multipathfinder offload_launches): indices
+        # come from the device weights as usual, the gather runs on host
+        # so the K-scale pool is never re-uploaded — only the selected
+        # draws go back to the device. Identical values by construction.
+        draws = jnp.asarray(np.ascontiguousarray(flat[np.asarray(idx)].T))
+    else:
+        draws = flat[idx].T
     component_ids = idx // N
     return draws, component_ids

@@ -99,6 +99,17 @@ PATHS_ALIGN_MIN_K = 2048
 SINGLE_PROGRAM_MAX_K = 6144
 DEFAULT_LAUNCH_CAP = 4096
 
+# Host-offload auto threshold for chunked launches: when the accumulated
+# launch outputs (n_chunks × the first chunk's concrete output bytes)
+# would exceed this, stream each chunk's output to host RAM instead of
+# letting chunks pile up in HBM. Measured motivation (v5e 16 GB,
+# d=1000 slim states = 130 KB/path): K=16384 on-device works, K=32768
+# RESOURCE_EXHAUSTEDs — the 4.3 GB of accumulated slim states plus the
+# device-side concatenation copy plus one in-flight launch's full
+# buffers crosses HBM; offloaded, host RAM is the ceiling
+# (benchmarks/PATHS_SLIM_r05.jsonl / PATHS_OFFLOAD_r05.jsonl).
+OFFLOAD_AUTO_BYTES = 2 << 30
+
 
 def pad_paths(n: int, mesh: Optional[Mesh], align: bool = True) -> int:
     """Smallest K' ≥ n divisible by the mesh's ``paths`` axis (1 when
@@ -116,9 +127,25 @@ def pad_paths(n: int, mesh: Optional[Mesh], align: bool = True) -> int:
     return K
 
 
-def chunk_launches(executor, cap: Optional[int], mesh: Optional[Mesh] = None):
+def chunk_launches(
+    executor,
+    cap: Optional[int],
+    mesh: Optional[Mesh] = None,
+    offload: Optional[bool] = False,
+):
     """Wrap a path executor so batches larger than ``cap`` lanes run as
     sequential launches of ONE fixed-shape ``cap``-lane program.
+
+    ``offload`` streams each launch's output to host RAM
+    (``jax.device_get``) as it completes, so chunk outputs never
+    accumulate in HBM — host memory becomes the paths-axis ceiling
+    instead of the device. The returned pytree then has numpy leaves
+    (bit-identical values: a device→host round trip preserves bits);
+    typed PRNG-key leaves stay on device (16 B/path, not convertible).
+    ``offload=None`` decides automatically after the first chunk: offload
+    iff ``n_chunks × first_chunk_bytes > OFFLOAD_AUTO_BYTES``. With a
+    multi-device mesh, offloading gathers each launch's sharded output to
+    the host (the cost host offload implies).
 
     Very large single programs can exceed compiler limits long before HBM
     does (measured: K=8000 trace buffers are 3.9 GB of 16 GB yet the
@@ -158,17 +185,45 @@ def chunk_launches(executor, cap: Optional[int], mesh: Optional[Mesh] = None):
         if pad:
             keys = jnp.concatenate([keys, keys[:pad]])
             x0s = jnp.concatenate([x0s, x0s[:pad]])
-        outs = [
-            executor(
+        def offload_tree(out):
+            # typed PRNG-key leaves cannot become numpy and are 16 B/path
+            # — keep them on device; everything else streams to host
+            return jax.tree_util.tree_map(
+                lambda leaf: (
+                    leaf
+                    if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+                    else jax.device_get(leaf)
+                ),
+                out,
+            )
+
+        off = offload
+        outs = []
+        for c in range(n_chunks):
+            out = executor(
                 keys[c * cap : (c + 1) * cap],
                 x0s[c * cap : (c + 1) * cap],
                 target,
                 config,
             )
-            for c in range(n_chunks)
-        ]
+            if off is None:
+                # auto rule, decided once from the first chunk's CONCRETE
+                # output shapes (known only now — the executor may slim)
+                chunk_bytes = sum(
+                    leaf.size * leaf.dtype.itemsize
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                off = chunk_bytes * n_chunks > OFFLOAD_AUTO_BYTES
+            if off:
+                out = offload_tree(out)
+            outs.append(out)
         full = jax.tree_util.tree_map(
-            lambda *leaves: jnp.concatenate(leaves, axis=0), *outs
+            lambda *leaves: (
+                np.concatenate(leaves, axis=0)
+                if isinstance(leaves[0], np.ndarray)
+                else jnp.concatenate(leaves, axis=0)
+            ),
+            *outs,
         )
         if pad:
             full = jax.tree_util.tree_map(lambda leaf: leaf[:K], full)

@@ -1111,6 +1111,110 @@ def test_chunked_psis_matches_unchunked():
         )
 
 
+class TestOffloadLaunches:
+    """``offload_launches`` streams each chunk's output to host RAM as it
+    completes, so per-path state never accumulates in HBM — host memory
+    becomes the paths-axis ceiling (third serving-scale lever; measured
+    K=32768 at d=1000 RESOURCE_EXHAUSTEDs on-device but runs offloaded).
+    Device→host round trips preserve bits, so every output is
+    bit-identical to the on-device chunked run."""
+
+    def test_bit_identical_and_host_leaves(self):
+        res_dev, _ = run_multi(
+            key=8, nruns=10, ndraws=100, max_paths_per_launch=4,
+            offload_launches=False,
+        )
+        res_off, _ = run_multi(
+            key=8, nruns=10, ndraws=100, max_paths_per_launch=4,
+            offload_launches=True,
+        )
+        # per-path state lives on host; typed PRNG-key leaves (16 B/path,
+        # not numpy-convertible) stay on device
+        assert isinstance(res_off.states.draws, np.ndarray)
+        assert isinstance(res_off.states.fit_iteration, np.ndarray)
+        assert isinstance(res_off.states.key, jax.Array)
+        assert isinstance(res_dev.states.draws, jax.Array)
+        # bit-identical outputs end to end
+        np.testing.assert_array_equal(
+            np.asarray(res_dev.draws), np.asarray(res_off.draws)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_dev.draw_component_ids),
+            np.asarray(res_off.draw_component_ids),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_dev.states.fit_iteration),
+            res_off.states.fit_iteration,
+        )
+        assert float(res_dev.psis_result.pareto_shape) == float(
+            res_off.psis_result.pareto_shape
+        )
+
+    def test_single_launch_stays_on_device(self):
+        # no chunking => nothing to stream; offload_launches is a no-op
+        res, _ = run_multi(key=8, nruns=4, ndraws=50, offload_launches=True)
+        assert isinstance(res.states.draws, jax.Array)
+
+    def test_auto_threshold(self, monkeypatch):
+        """``offload_launches=None`` (the default) offloads iff the
+        accumulated launch outputs would exceed OFFLOAD_AUTO_BYTES,
+        decided from the first chunk's concrete (post-slim) sizes."""
+        from pathfinder_tpu.parallel import sharding
+
+        monkeypatch.setattr(sharding, "OFFLOAD_AUTO_BYTES", 0)
+        res_small, _ = run_multi(
+            key=8, nruns=10, ndraws=100, max_paths_per_launch=4
+        )
+        assert isinstance(res_small.states.draws, np.ndarray)
+        monkeypatch.setattr(sharding, "OFFLOAD_AUTO_BYTES", 1 << 60)
+        res_big, _ = run_multi(
+            key=8, nruns=10, ndraws=100, max_paths_per_launch=4
+        )
+        assert isinstance(res_big.states.draws, jax.Array)
+        np.testing.assert_array_equal(
+            np.asarray(res_big.draws), np.asarray(res_small.draws)
+        )
+
+    def test_retry_merge_on_host(self):
+        """Retry rounds merge compacted device batches into the
+        host-resident states in place — same results as on-device."""
+        kw = dict(_RETRY_KW, max_paths_per_launch=2)
+        r_dev = multipathfinder(
+            _nan_wall_logp, 100, offload_launches=False, **kw
+        )
+        r_off = multipathfinder(
+            _nan_wall_logp, 100, offload_launches=True, **kw
+        )
+        assert np.asarray(r_dev.num_tries).max() > 1  # retries fired
+        assert isinstance(r_off.states.draws, np.ndarray)
+        np.testing.assert_array_equal(
+            np.asarray(r_dev.num_tries), np.asarray(r_off.num_tries)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_dev.draws), np.asarray(r_off.draws)
+        )
+
+    def test_composes_slim_resample_laplace_serialize(self, tmp_path):
+        from pathfinder_tpu.multipath import laplace_resample
+        from pathfinder_tpu.utils.serialize import load_result, save_result
+
+        res, target = run_multi(
+            key=9, nruns=8, ndraws=100, keep_traces=False,
+            max_paths_per_launch=3, offload_launches=True,
+        )
+        assert isinstance(res.states.draws, np.ndarray)
+        res2 = resample(res, 64)
+        assert res2.draws.shape == (5, 64)
+        cor = laplace_resample(res, 64, method="diag")
+        assert cor.draws.shape == (5, 64)
+        path = tmp_path / "offload.npz"
+        save_result(path, res)
+        back = load_result(path, fn=target)
+        np.testing.assert_array_equal(
+            np.asarray(back.draws), np.asarray(res.draws)
+        )
+
+
 class TestKeepTraces:
     """``keep_traces=False`` drops trajectory arrays per launch — the
     serving-scale HBM lever (with chunked launches, peak HBM = one chunk's
