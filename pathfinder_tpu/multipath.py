@@ -364,13 +364,16 @@ def multipathfinder(
     lifts the single-chip paths ceiling ~5×. ``offload_launches`` streams
     each chunk's (slim) output to host RAM as it completes, so per-path
     state never accumulates in HBM — host memory becomes the paths-axis
-    ceiling (the third serving-scale lever; measured K=32768+ at d=1000
-    on one 16 GB chip, where on-device accumulation RESOURCE_EXHAUSTEDs).
-    Default ``None`` auto-offloads when the accumulated launch outputs
-    would exceed ``sharding.OFFLOAD_AUTO_BYTES`` (2 GiB); values are
-    bit-identical either way (device→host round trips preserve bits; the
-    PSIS tail and resample then feed one path block at a time from host,
-    and ``result.states`` holds numpy leaves). Draws, the mixture, PSIS,
+    ceiling (the third serving-scale lever; measured K=32768 at d=1000
+    on one 16 GB chip, where on-device accumulation RESOURCE_EXHAUSTEDs;
+    ``benchmarks/PATHS_OFFLOAD_r05.jsonl``). Default ``None``
+    auto-offloads when chunked launches would accumulate more than
+    ``sharding.OFFLOAD_AUTO_BYTES`` (2 GiB) *per device* — it never
+    engages for un-chunked runs; ``True`` always offloads, including a
+    single launch. Values are bit-identical either way (device→host
+    round trips preserve bits; the PSIS tail and resample then feed one
+    path block at a time from host, and when offload engages
+    ``result.states`` holds numpy leaves). Draws, the mixture, PSIS,
     ``resample``/``laplace_resample``, warm starts, and serialization are
     unaffected (bit-identical); only per-path ``fit_distributions`` /
     ``elbo_estimates`` rebuilds become unavailable. The reference's
@@ -729,11 +732,13 @@ def multipathfinder(
 
         def merge(old, new):
             if isinstance(old, np.ndarray):
-                # offloaded launches accumulate on host; keep them there
-                # (re-uploading K-scale state would defeat the offload)
-                out = old.copy()
-                out[fidx] = np.asarray(new)
-                return out
+                # offloaded launches accumulate on host; update the rows
+                # in place (the buffers are freshly allocated by
+                # chunk_launches, so this run exclusively owns them —
+                # re-uploading or copying K-scale state each retry round
+                # would defeat the offload)
+                old[fidx] = np.asarray(new)
+                return old
             return old.at[jnp.asarray(fidx)].set(new)
 
         states = jax.tree_util.tree_map(merge, states, retry)

@@ -79,16 +79,21 @@ def resample_draws(
     returns ``(draws (d, ndraws), component_ids (ndraws,))``.
     """
     K, N, d = draws_per_component.shape
-    flat = draws_per_component.reshape(K * N, d)
     lw = None if psis_result is None else psis_result.log_weights
     idx = resample_indices(key, K * N, ndraws, lw, replace=replace)
-    if isinstance(flat, np.ndarray):
+    if isinstance(draws_per_component, np.ndarray):
         # host-offloaded pool (multipathfinder offload_launches): indices
         # come from the device weights as usual, the gather runs on host
         # so the K-scale pool is never re-uploaded — only the selected
-        # draws go back to the device. Identical values by construction.
-        draws = jnp.asarray(np.ascontiguousarray(flat[np.asarray(idx)].T))
+        # draws go back to the device. The pool is usually a swapaxes
+        # VIEW; a (rows, cols) fancy-index gathers straight from it
+        # (reshape would silently copy the whole K·N·d pool first).
+        # Identical values by construction.
+        idx_np = np.asarray(idx)
+        sel = draws_per_component[idx_np // N, idx_np % N]  # (ndraws, d)
+        draws = jnp.asarray(np.ascontiguousarray(sel.T))
     else:
+        flat = draws_per_component.reshape(K * N, d)
         draws = flat[idx].T
     component_ids = idx // N
     return draws, component_ids

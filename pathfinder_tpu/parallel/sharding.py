@@ -136,16 +136,25 @@ def chunk_launches(
     """Wrap a path executor so batches larger than ``cap`` lanes run as
     sequential launches of ONE fixed-shape ``cap``-lane program.
 
-    ``offload`` streams each launch's output to host RAM
-    (``jax.device_get``) as it completes, so chunk outputs never
-    accumulate in HBM — host memory becomes the paths-axis ceiling
-    instead of the device. The returned pytree then has numpy leaves
-    (bit-identical values: a device→host round trip preserves bits);
-    typed PRNG-key leaves stay on device (16 B/path, not convertible).
-    ``offload=None`` decides automatically after the first chunk: offload
-    iff ``n_chunks × first_chunk_bytes > OFFLOAD_AUTO_BYTES``. With a
-    multi-device mesh, offloading gathers each launch's sharded output to
-    the host (the cost host offload implies).
+    ``offload`` streams each launch's output to host RAM as it
+    completes, so chunk outputs never accumulate in HBM — host memory
+    becomes the paths-axis ceiling instead of the device. The returned
+    pytree then has numpy leaves (bit-identical values: a device→host
+    round trip preserves bits); typed PRNG-key leaves stay on device
+    (8 B/path under the default threefry impl, not convertible).
+    Chunks are written into preallocated K-row host buffers (peak host
+    usage = the pool itself, no concat doubling), and the next chunk is
+    dispatched *before* the previous chunk's transfer blocks, so device
+    compute and d2h transfer overlap (≤ 2 chunk outputs live in HBM).
+    ``offload=None`` decides automatically after dispatching the first
+    chunk (from its aval sizes, no sync): offload iff the accumulated
+    *per-device* bytes ``n_chunks × chunk_bytes / mesh_paths_size``
+    exceed ``OFFLOAD_AUTO_BYTES`` — HBM is a per-device resource, so a
+    mesh that shards the paths axis raises the on-device ceiling
+    proportionally. ``offload=True`` always offloads, including a
+    single un-chunked launch (frees HBM for whatever runs next); with a
+    multi-device mesh it gathers each launch's sharded output to the
+    host (the cost host offload implies).
 
     Very large single programs can exceed compiler limits long before HBM
     does (measured: K=8000 trace buffers are 3.9 GB of 16 GB yet the
@@ -166,39 +175,80 @@ def chunk_launches(
     (their results are discarded), so all launches share one compiled
     program.
     """
+    import jax.numpy as jnp
+
+    def _is_key(leaf):
+        return jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+    def offload_tree(out):
+        # typed PRNG-key leaves cannot become numpy (8 B/path threefry)
+        # — keep them on device; everything else streams to host
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf if _is_key(leaf) else jax.device_get(leaf),
+            out,
+        )
+
     if cap is None:
+        if offload is True:
+            # explicit offload with no chunking: still move the single
+            # launch's output to host (frees HBM for whatever runs next)
+            return lambda *a: offload_tree(executor(*a))
         return executor
     if cap <= 0:
         raise ValueError(f"max_paths_per_launch must be positive; got {cap}")
+    size = 1
     if mesh is not None:
         size = dict(mesh.shape).get(PATHS_AXIS, mesh.devices.size)
         cap = max((cap // size) * size, size)
 
-    import jax.numpy as jnp
-
     def run(keys, x0s, target, config):
         K = keys.shape[0]
         if K <= cap:
-            return executor(keys, x0s, target, config)
+            out = executor(keys, x0s, target, config)
+            return offload_tree(out) if offload is True else out
         n_chunks = -(-K // cap)
         pad = n_chunks * cap - K
         if pad:
             keys = jnp.concatenate([keys, keys[:pad]])
             x0s = jnp.concatenate([x0s, x0s[:pad]])
-        def offload_tree(out):
-            # typed PRNG-key leaves cannot become numpy and are 16 B/path
-            # — keep them on device; everything else streams to host
-            return jax.tree_util.tree_map(
-                lambda leaf: (
-                    leaf
-                    if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key)
-                    else jax.device_get(leaf)
-                ),
-                out,
-            )
 
         off = offload
-        outs = []
+        bufs = None  # preallocated K-row host buffers (None at key leaves)
+        key_chunks = []  # per-chunk trees: key leaves on device, None else
+        dev_outs = []  # whole chunk outputs when not offloading
+
+        def store(c, out):
+            # blocks on chunk c's transfer (the caller has already
+            # dispatched chunk c+1, so compute and d2h overlap)
+            nonlocal bufs
+            if not off:
+                dev_outs.append(out)
+                return
+            if bufs is None:
+                # exact-K rows: no pad trim, no concat copy, 1× host peak
+                bufs = jax.tree_util.tree_map(
+                    lambda leaf: None if _is_key(leaf)
+                    else np.empty((K,) + leaf.shape[1:], leaf.dtype),
+                    out,
+                )
+            lo = c * cap
+            rows = min(cap, K - lo)
+
+            def put(buf, leaf):
+                if buf is None:
+                    return leaf  # key leaf: keep on device, concat later
+                buf[lo : lo + rows] = np.asarray(
+                    leaf if rows == cap else leaf[:rows]
+                )
+                return None
+
+            key_chunks.append(
+                jax.tree_util.tree_map(
+                    put, bufs, out, is_leaf=lambda x: x is None
+                )
+            )
+
+        pending = None  # (chunk index, its un-stored output)
         for c in range(n_chunks):
             out = executor(
                 keys[c * cap : (c + 1) * cap],
@@ -208,26 +258,35 @@ def chunk_launches(
             )
             if off is None:
                 # auto rule, decided once from the first chunk's CONCRETE
-                # output shapes (known only now — the executor may slim)
+                # output avals (known at dispatch, no sync — the executor
+                # may slim). HBM is a per-device resource: a mesh sharding
+                # the paths axis over `size` devices accumulates 1/size of
+                # the bytes per device.
                 chunk_bytes = sum(
                     leaf.size * leaf.dtype.itemsize
                     for leaf in jax.tree_util.tree_leaves(out)
                 )
-                off = chunk_bytes * n_chunks > OFFLOAD_AUTO_BYTES
-            if off:
-                out = offload_tree(out)
-            outs.append(out)
-        full = jax.tree_util.tree_map(
-            lambda *leaves: (
-                np.concatenate(leaves, axis=0)
-                if isinstance(leaves[0], np.ndarray)
-                else jnp.concatenate(leaves, axis=0)
+                off = chunk_bytes * n_chunks > OFFLOAD_AUTO_BYTES * size
+            if pending is not None:
+                store(c - 1, pending)
+            pending = out
+        store(n_chunks - 1, pending)
+
+        if not off:
+            full = jax.tree_util.tree_map(
+                lambda *leaves: jnp.concatenate(leaves, axis=0), *dev_outs
+            )
+            if pad:
+                full = jax.tree_util.tree_map(lambda leaf: leaf[:K], full)
+            return full
+        return jax.tree_util.tree_map(
+            lambda buf, *chunks: (
+                jnp.concatenate(chunks, axis=0)[:K] if buf is None else buf
             ),
-            *outs,
+            bufs,
+            *key_chunks,
+            is_leaf=lambda x: x is None,
         )
-        if pad:
-            full = jax.tree_util.tree_map(lambda leaf: leaf[:K], full)
-        return full
 
     return run
 

@@ -1128,7 +1128,7 @@ class TestOffloadLaunches:
             key=8, nruns=10, ndraws=100, max_paths_per_launch=4,
             offload_launches=True,
         )
-        # per-path state lives on host; typed PRNG-key leaves (16 B/path,
+        # per-path state lives on host; typed PRNG-key leaves (8 B/path,
         # not numpy-convertible) stay on device
         assert isinstance(res_off.states.draws, np.ndarray)
         assert isinstance(res_off.states.fit_iteration, np.ndarray)
@@ -1150,10 +1150,53 @@ class TestOffloadLaunches:
             res_off.psis_result.pareto_shape
         )
 
-    def test_single_launch_stays_on_device(self):
-        # no chunking => nothing to stream; offload_launches is a no-op
+    def test_single_launch_explicit_true_offloads(self):
+        # explicit True moves even an un-chunked launch's output to host
+        # (frees HBM for whatever runs next); auto (None) never engages
+        # without chunking
         res, _ = run_multi(key=8, nruns=4, ndraws=50, offload_launches=True)
-        assert isinstance(res.states.draws, jax.Array)
+        assert isinstance(res.states.draws, np.ndarray)
+        assert isinstance(res.states.key, jax.Array)
+        res_auto, _ = run_multi(key=8, nruns=4, ndraws=50)
+        assert isinstance(res_auto.states.draws, jax.Array)
+        np.testing.assert_array_equal(
+            np.asarray(res_auto.draws), np.asarray(res.draws)
+        )
+
+    def test_auto_threshold_is_per_device_on_mesh(self, monkeypatch):
+        """HBM is per-device: a mesh sharding the paths axis over n
+        devices accumulates 1/n of the bytes per device, so the auto rule
+        scales the threshold by the mesh's paths-axis size (a global-bytes
+        rule would gather multi-chip runs to host while per-device HBM is
+        nearly empty)."""
+        from pathfinder_tpu.parallel import sharding
+
+        mesh = paths_mesh()
+        n_dev = mesh.devices.size
+        res_probe, _ = run_multi(
+            key=8, nruns=4 * n_dev, ndraws=100, mesh=mesh,
+            max_paths_per_launch=n_dev,
+        )
+        chunk_bytes = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(res_probe.states)
+        ) // 4  # 4 chunks accumulated
+        # threshold = half the global bytes: global exceeds it (offload
+        # when unsharded) but per-device bytes (1/n_dev of global) do not
+        monkeypatch.setattr(
+            sharding, "OFFLOAD_AUTO_BYTES", (chunk_bytes * 4) // 2
+        )
+        res_mesh, _ = run_multi(
+            key=8, nruns=4 * n_dev, ndraws=100, mesh=mesh,
+            max_paths_per_launch=n_dev,
+        )
+        assert isinstance(res_mesh.states.draws, jax.Array)
+        # the same run without a mesh accumulates everything on one
+        # device and must offload under the same threshold
+        res_one, _ = run_multi(
+            key=8, nruns=4 * n_dev, ndraws=100, max_paths_per_launch=n_dev
+        )
+        assert isinstance(res_one.states.draws, np.ndarray)
 
     def test_auto_threshold(self, monkeypatch):
         """``offload_launches=None`` (the default) offloads iff the
